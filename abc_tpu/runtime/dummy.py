@@ -1,0 +1,102 @@
+"""Dummy ("fake FHE") backend: plaintext int64 vectors with full slot
+semantics, for fast pipeline testing without crypto.
+
+Reference: src/runtime/DummyCiphertext.cpp / DummyCiphertextFactory.cpp —
+but improved: the reference's rotateRows throws "Not yet implemented"
+(DummyCiphertext.cpp:244-249); here rotation is implemented with exact
+SEAL row semantics so every pipeline test (incl. rotations and batching)
+can run without the real crypto backend (SURVEY.md §4: "testing FHE
+without crypto" is the multi-node-without-a-cluster analogue).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+import numpy as np
+
+from abc_tpu.runtime.backend import AbstractCiphertextFactory
+from abc_tpu.runtime.values import AbstractCiphertext, Cleartext
+from abc_tpu.utils.errors import RuntimeExecutionError
+
+
+class DummyCiphertext(AbstractCiphertext):
+    """Fake ciphertext: an int64 slot vector (no noise, no crypto)."""
+
+    __slots__ = ("data", "factory")
+
+    def __init__(self, data: np.ndarray, factory: "DummyCiphertextFactory"):
+        self.data = data
+        self.factory = factory
+
+    # --- ctxt ⊕ ctxt ----------------------------------------------------------
+    def add(self, other):
+        return DummyCiphertext(self.data + other.data, self.factory)
+
+    def subtract(self, other):
+        return DummyCiphertext(self.data - other.data, self.factory)
+
+    def multiply(self, other):
+        return DummyCiphertext(self.data * other.data, self.factory)
+
+    # --- ctxt ⊕ plain ----------------------------------------------------------
+    def _plain(self, cleartext: Cleartext) -> np.ndarray:
+        vals = self.factory.expand_vector([int(v) for v in cleartext.values])
+        return np.asarray(vals, dtype=np.int64)
+
+    def add_plain(self, other):
+        return DummyCiphertext(self.data + self._plain(other), self.factory)
+
+    def subtract_plain(self, other):
+        return DummyCiphertext(self.data - self._plain(other), self.factory)
+
+    def subtract_from_plain(self, other):
+        return DummyCiphertext(self._plain(other) - self.data, self.factory)
+
+    def multiply_plain(self, other):
+        return DummyCiphertext(self.data * self._plain(other), self.factory)
+
+    # --- rotation --------------------------------------------------------------
+    def rotate_rows(self, steps: int) -> "DummyCiphertext":
+        # SEAL batching views the n slots as a 2×(n/2) matrix; rotate_rows
+        # rotates each row cyclically, positive steps to the left
+        # (ref: SealCiphertext.cpp:52-61; expected output for rotate(x,-4)
+        # at RuntimeVisitorTest.cpp:100-103)
+        half = self.data.shape[0] // 2
+        rows = self.data.reshape(2, half)
+        rotated = np.roll(rows, -steps, axis=1)
+        return DummyCiphertext(rotated.reshape(-1), self.factory)
+
+    def clone(self) -> "DummyCiphertext":
+        return DummyCiphertext(self.data.copy(), self.factory)
+
+
+class DummyCiphertextFactory(AbstractCiphertextFactory):
+    """ref: DummyCiphertextFactory.h; slot count configurable (default 8192
+    like a small BFV parameter set)."""
+
+    def __init__(self, slots: int = 8192):
+        if slots % 2 != 0:
+            raise ValueError("slot count must be even (2×n/2 row structure)")
+        self._slots = slots
+
+    @property
+    def slot_count(self) -> int:
+        return self._slots
+
+    def create_ciphertext(self, value: Union[Cleartext, Sequence[int], int]
+                          ) -> DummyCiphertext:
+        if isinstance(value, Cleartext):
+            vals = [int(v) for v in value.values]
+        elif isinstance(value, (int, np.integer)):
+            vals = [int(value)]
+        else:
+            vals = [int(v) for v in value]
+        data = np.asarray(self.expand_vector(vals), dtype=np.int64)
+        return DummyCiphertext(data, self)
+
+    def decrypt(self, ciphertext: AbstractCiphertext) -> List[int]:
+        if not isinstance(ciphertext, DummyCiphertext):
+            raise RuntimeExecutionError("DummyCiphertextFactory can only decrypt "
+                                        "DummyCiphertexts")
+        return [int(v) for v in ciphertext.data]
