@@ -1,0 +1,483 @@
+"""RNS-BFV scheme: keygen, encrypt/decrypt, batching encoder, homomorphic
+add/sub/plain-mult, Galois rotations with special-prime key switching.
+
+This module replaces Microsoft SEAL's BFV evaluator (the reference's only
+native crypto engine, src/runtime/SealCiphertextFactory.cpp). Everything on
+the evaluation path is expressed as per-limb uint32 array math over
+[L, n]-shaped RNS polynomials so it runs through either modarith engine:
+np64 (host/NumPy oracle) or jx32 (TPU/JAX, jit-able end to end).
+
+Key switching uses the special-prime (hybrid, SEAL ≥3.6 style) construction:
+  ksk_i = ( -(a_i·s + e_i) + P·ω_i·s2 ,  a_i )  over base q∪{P},
+where ω_i is the CRT basis element of q (ω_i ≡ δ_ij mod q_j), so that
+  Σ_i [d]_{q_i}·ksk_i  =  P·d·s2 + (small)  (mod qP),
+and the exact division by P (mod-switch down) yields d·s2 + tiny error mod q.
+
+Decryption/decoding run on the host with exact bigints (CRT compose +
+rounding) — matching the reference's CPU decrypt boundary (the
+decrypt-and-compare protocol of RuntimeVisitorTest.cpp:40-66).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from abc_tpu.crypto.ntt import NttContext, bit_reverse
+from abc_tpu.crypto.numthy import centered, modinv
+from abc_tpu.crypto.params import BfvParams
+from abc_tpu.ops.modarith import barrett_mu
+from abc_tpu.utils.errors import RuntimeExecutionError
+
+
+@dataclass
+class Plaintext:
+    """Batched plaintext: polynomial coefficients mod t, [n] uint32."""
+    coeffs: np.ndarray
+
+
+@dataclass
+class BfvCiphertext:
+    """data: [k, L, n] uint32, coefficient domain, k = 2 (or 3 pre-relin)."""
+    data: object  # np.ndarray | jnp.ndarray
+
+    @property
+    def size(self) -> int:
+        return self.data.shape[0]
+
+
+class BfvContext:
+    """Keys + precomputed tables for one BFV parameter set."""
+
+    def __init__(self, params: BfvParams):
+        self.params = params
+        n, moduli = params.n, params.coeff_modulus
+        bitsizes = {q.bit_length() for q in moduli}
+        assert len(bitsizes) == 1, \
+            "uniform coeff-prime sizes required (single-subtract limb lifting)"
+        self._on_device = params.engine == "jx32"
+
+        # host (np64) contexts for keygen/encrypt/decrypt; engine contexts for
+        # the homomorphic evaluation path
+        self.hq = NttContext(n, params.data_primes, engine="np64")
+        self.hqp = NttContext(n, moduli, engine="np64")
+        if self._on_device:
+            self.ntt_q = NttContext(n, params.data_primes, engine="jx32")
+            self.ntt_qp = NttContext(n, moduli, engine="jx32")
+        else:
+            self.ntt_q, self.ntt_qp = self.hq, self.hqp
+        self.ntt_t = NttContext(n, [params.plain_modulus], engine="np64")
+        self.engine = self.ntt_q.engine
+
+        L, P, q_big, t = params.L, params.special_prime, params.q, params.plain_modulus
+        qs = params.data_primes
+
+        # --- scalar tables (host bigints → uint32 arrays) ---------------------
+        host: Dict[str, np.ndarray] = {}
+        host["q_full"] = np.asarray(moduli, dtype=np.uint32).reshape(-1, 1)
+        host["mu_full"] = np.asarray([barrett_mu(q) for q in moduli],
+                                     dtype=np.uint32).reshape(-1, 1)
+        delta = q_big // t
+        host["delta_mod_q"] = np.asarray([delta % q for q in qs],
+                                         dtype=np.uint32).reshape(-1, 1)
+        host["P_mod_q"] = np.asarray([P % q for q in qs],
+                                     dtype=np.uint32).reshape(-1, 1)
+        host["P_inv_mod_q"] = np.asarray([modinv(P, q) for q in qs],
+                                         dtype=np.uint32).reshape(-1, 1)
+        # P·ω_i mod q_j (0 at the P limb) for the ksk construction
+        factors = np.zeros((L, L + 1, 1), dtype=np.uint32)
+        for i, qi in enumerate(qs):
+            qhat = q_big // qi
+            omega = qhat * modinv(qhat % qi, qi)      # ≡ δ_ij (mod q_j)
+            for j, qj in enumerate(moduli):
+                factors[i, j, 0] = (P * omega) % qj
+        host["ks_factors"] = factors
+        self._host = host
+        self.P_half = P >> 1
+
+        if self._on_device:
+            import jax.numpy as jnp
+            self._dev = jnp.asarray
+            self._tab = {k: jnp.asarray(v) for k, v in host.items()}
+        else:
+            self._dev = lambda x: x
+            self._tab = host
+
+        # --- batching slot map -------------------------------------------------
+        self._slot_to_pos = self._build_slot_map(n)
+
+        # --- keys ----------------------------------------------------------------
+        self.rng = np.random.default_rng(params.seed)
+        self._keygen()
+        self.relin_key: Optional[Tuple] = None
+        self.galois_keys: Dict[int, Tuple] = {}
+        self._perm_cache: Dict[int, Tuple] = {}
+        self._behz = None  # lazily-built BEHZ multiplication context
+
+    # convenient table views ----------------------------------------------------
+    @property
+    def q_q(self):
+        return self._tab["q_full"][:self.params.L]
+
+    @property
+    def mu_q(self):
+        return self._tab["mu_full"][:self.params.L]
+
+    # ------------------------------------------------------------------ sampling
+    def _sample_ternary(self) -> np.ndarray:
+        return self.rng.integers(-1, 2, size=self.params.n).astype(np.int64)
+
+    def _sample_error(self) -> np.ndarray:
+        e = np.rint(self.rng.normal(0.0, self.params.error_std, self.params.n))
+        return np.clip(e, -19, 19).astype(np.int64)
+
+    def _lift_signed(self, coeffs: np.ndarray, num_limbs: int) -> np.ndarray:
+        """Signed int coeffs → [L', n] uint32 residues."""
+        moduli = self.params.coeff_modulus[:num_limbs]
+        out = np.empty((len(moduli), self.params.n), dtype=np.uint32)
+        for j, qj in enumerate(moduli):
+            out[j] = np.mod(coeffs, qj).astype(np.uint32)
+        return out
+
+    def _uniform_rns(self, num_limbs: int) -> np.ndarray:
+        """Uniform element of Z_q in RNS (independent uniform residues are
+        uniform over Z_q by the CRT bijection)."""
+        cols = []
+        for qj in self.params.coeff_modulus[:num_limbs]:
+            cols.append(self.rng.integers(0, qj, size=self.params.n,
+                                          dtype=np.uint64).astype(np.uint32))
+        return np.stack(cols)
+
+    # ------------------------------------------------------------------ keygen
+    def _keygen(self) -> None:
+        L, full = self.params.L, self.params.L + 1
+        self.s_coeffs = self._sample_ternary()
+        self.s_ntt_full = self.hqp.fwd(self._lift_signed(self.s_coeffs, full))
+        # public key over the data base q, NTT domain: (b = -(a·s+e), a)
+        a_ntt = self._uniform_rns(L)           # uniform is uniform in NTT domain
+        e_ntt = self.hq.fwd(self._lift_signed(self._sample_error(), L))
+        as_ntt = self.hq.pointwise_mul(a_ntt, self.s_ntt_full[:L])
+        self.pk_b_ntt = self.hq.sub(self.hq.neg(as_ntt), e_ntt)
+        self.pk_a_ntt = a_ntt
+
+    def _make_ksk(self, s2_ntt_full: np.ndarray) -> Tuple:
+        """Key-switching key toward target secret s2 (NTT domain over q∪P):
+        (ksk_b, ksk_a), each [L, L+1, n], on the evaluation device."""
+        h = self.hqp
+        L, full, n = self.params.L, self.params.L + 1, self.params.n
+        ksk_b = np.empty((L, full, n), dtype=np.uint32)
+        ksk_a = np.empty((L, full, n), dtype=np.uint32)
+        factors = self._host["ks_factors"]
+        for i in range(L):
+            a_i = self._uniform_rns(full)
+            e_i = h.fwd(self._lift_signed(self._sample_error(), full))
+            term = h.engine.mul(s2_ntt_full, factors[i], h.q, h.mu)
+            b_i = h.add(h.sub(h.neg(h.pointwise_mul(a_i, self.s_ntt_full)), e_i),
+                        term)
+            ksk_b[i], ksk_a[i] = b_i, a_i
+        return self._dev(ksk_b), self._dev(ksk_a)
+
+    def get_relin_key(self) -> Tuple:
+        if self.relin_key is None:
+            s2 = self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
+            self.relin_key = self._make_ksk(s2)
+        return self.relin_key
+
+    def get_galois_key(self, galois_elt: int) -> Tuple:
+        if galois_elt not in self.galois_keys:
+            gather, sign = self._galois_perm_host(galois_elt)
+            s_lift = self._lift_signed(self.s_coeffs, self.params.L + 1)
+            s_tau = self._apply_automorphism_host(s_lift, gather, sign)
+            self.galois_keys[galois_elt] = self._make_ksk(self.hqp.fwd(s_tau))
+        return self.galois_keys[galois_elt]
+
+    # ----------------------------------------------------------------- encoding
+    @staticmethod
+    def _build_slot_map(n: int) -> np.ndarray:
+        """slot index → NTT-output position, per the SEAL-compatible 2×(n/2)
+        matrix batching layout: slot (r, i) sits at evaluation point
+        ψ^(±3^i mod 2n); forward-NTT position p evaluates at ψ^(2·brv(p)+1)
+        (convention verified in tests/test_ntt.py)."""
+        logn = n.bit_length() - 1
+        m = 2 * n
+        pos = np.empty(n, dtype=np.int64)
+        g = 1
+        for i in range(n // 2):
+            e1 = g                       # row 0: exponent 3^i
+            e2 = m - g                   # row 1: exponent -3^i
+            pos[i] = bit_reverse((e1 - 1) // 2, logn)
+            pos[n // 2 + i] = bit_reverse((e2 - 1) // 2, logn)
+            g = g * 3 % m
+        return pos
+
+    def encode(self, values: Sequence[int]) -> Plaintext:
+        """Batch-encode up to n integers into slots (zero-padded here;
+        last-element padding is applied by the runtime factory layer)."""
+        n, t = self.params.n, self.params.plain_modulus
+        if len(values) > n:
+            raise RuntimeExecutionError(f"too many values to encode: {len(values)}")
+        slots = np.zeros(n, dtype=np.uint32)
+        if len(values):
+            vals = np.asarray([int(v) % t for v in values], dtype=np.uint32)
+            slots[self._slot_to_pos[:len(vals)]] = vals
+        coeffs = self.ntt_t.inv(slots.reshape(1, n))[0]
+        return Plaintext(coeffs)
+
+    def decode(self, pt: Plaintext, signed: bool = True) -> List[int]:
+        n, t = self.params.n, self.params.plain_modulus
+        slots_eval = self.ntt_t.fwd(pt.coeffs.reshape(1, n))[0]
+        out = slots_eval[self._slot_to_pos]
+        if signed:
+            return [centered(int(v), t) for v in out]
+        return [int(v) for v in out]
+
+    # ----------------------------------------------------------------- encrypt
+    def encrypt(self, pt: Plaintext) -> BfvCiphertext:
+        h = self.hq
+        L = self.params.L
+        u_ntt = h.fwd(self._lift_signed(self._sample_ternary(), L))
+        e0 = self._lift_signed(self._sample_error(), L)
+        e1 = self._lift_signed(self._sample_error(), L)
+        c0 = h.engine.add(h.inv(h.pointwise_mul(self.pk_b_ntt, u_ntt)), e0, h.q)
+        c1 = h.engine.add(h.inv(h.pointwise_mul(self.pk_a_ntt, u_ntt)), e1, h.q)
+        dm = h.engine.mul(self._lift_plain_host(pt),
+                          self._host["delta_mod_q"], h.q, h.mu)
+        c0 = h.engine.add(c0, dm, h.q)
+        return BfvCiphertext(self._dev(np.stack([c0, c1])))
+
+    def _lift_plain_host(self, pt: Plaintext) -> np.ndarray:
+        # plaintext coefficients are < t < every q_j: no reduction needed
+        return np.broadcast_to(pt.coeffs,
+                               (self.params.L, self.params.n)).copy()
+
+    # ----------------------------------------------------------------- decrypt
+    def _crt_compose_host(self, v: np.ndarray) -> np.ndarray:
+        """[L, n] residues → object array of exact bigints in [0, q)."""
+        qs = self.params.data_primes
+        q_big = self.params.q
+        acc = np.zeros(self.params.n, dtype=object)
+        for l, ql in enumerate(qs):
+            qhat = q_big // ql
+            c = qhat * modinv(qhat % ql, ql)
+            acc = (acc + v[l].astype(object) * c) % q_big
+        return acc
+
+    def decrypt(self, ct: BfvCiphertext) -> Plaintext:
+        return self._decrypt_full(ct)[0]
+
+    def _decrypt_full(self, ct: BfvCiphertext) -> Tuple[Plaintext, int]:
+        """Returns (plaintext, invariant-noise budget in bits)."""
+        h = self.hq
+        L = self.params.L
+        data = np.asarray(ct.data).astype(np.uint32)
+        # v = Σ_k c_k·s^k mod q (supports size-3 pre-relin ciphertexts)
+        s_pow = None
+        v_ntt = h.fwd(data[0])
+        for k in range(1, ct.size):
+            s_pow = self.s_ntt_full[:L] if s_pow is None else \
+                h.pointwise_mul(s_pow, self.s_ntt_full[:L])
+            v_ntt = h.add(v_ntt, h.pointwise_mul(h.fwd(data[k]), s_pow))
+        v = h.inv(v_ntt)
+        q_big, t = self.params.q, self.params.plain_modulus
+        big = self._crt_compose_host(v)
+        coeffs = np.zeros(self.params.n, dtype=np.uint32)
+        max_resid = 0
+        for j in range(self.params.n):
+            r = int(big[j]) * t
+            m_j, resid = divmod(r, q_big)
+            if resid > q_big // 2:
+                m_j += 1
+                resid -= q_big
+            coeffs[j] = m_j % t
+            if abs(resid) > max_resid:
+                max_resid = abs(resid)
+        if max_resid == 0:
+            budget = q_big.bit_length()
+        else:
+            budget = max(0, q_big.bit_length() - 1 - max_resid.bit_length())
+        return Plaintext(coeffs), budget
+
+    def noise_budget(self, ct: BfvCiphertext) -> int:
+        """Invariant-noise budget in bits (ref: SealCiphertext::noiseBits,
+        SealCiphertext.cpp:80-83)."""
+        return self._decrypt_full(ct)[1]
+
+    # ------------------------------------------------------------ homomorphic ops
+    def add(self, a: BfvCiphertext, b: BfvCiphertext) -> BfvCiphertext:
+        return BfvCiphertext(self.engine.add(a.data, b.data, self.q_q))
+
+    def sub(self, a: BfvCiphertext, b: BfvCiphertext) -> BfvCiphertext:
+        return BfvCiphertext(self.engine.sub(a.data, b.data, self.q_q))
+
+    def negate(self, a: BfvCiphertext) -> BfvCiphertext:
+        return BfvCiphertext(self.engine.neg(a.data, self.q_q))
+
+    def _plain_dm(self, pt: Plaintext):
+        """Δ·m in RNS on the evaluation device, [L, n]."""
+        m = self._dev(self._lift_plain_host(pt))
+        return self.engine.mul(m, self._tab["delta_mod_q"], self.q_q, self.mu_q)
+
+    def add_plain(self, a: BfvCiphertext, pt: Plaintext) -> BfvCiphertext:
+        c0 = self.engine.add(a.data[0], self._plain_dm(pt), self.q_q)
+        return BfvCiphertext(_set0(a.data, c0))
+
+    def sub_plain(self, a: BfvCiphertext, pt: Plaintext) -> BfvCiphertext:
+        c0 = self.engine.sub(a.data[0], self._plain_dm(pt), self.q_q)
+        return BfvCiphertext(_set0(a.data, c0))
+
+    def sub_from_plain(self, a: BfvCiphertext, pt: Plaintext) -> BfvCiphertext:
+        """Δ·m − ct (plain minus ciphertext, non-commutative case)."""
+        neg = self.engine.neg(a.data, self.q_q)
+        c0 = self.engine.add(neg[0], self._plain_dm(pt), self.q_q)
+        return BfvCiphertext(_set0(neg, c0))
+
+    def multiply_plain(self, a: BfvCiphertext, pt: Plaintext) -> BfvCiphertext:
+        m_ntt = self.ntt_q.fwd(self._dev(self._lift_plain_host(pt)))
+        ck = self.ntt_q.fwd(a.data)                     # batch over k
+        prod = self.engine.mul(ck, m_ntt, self.q_q, self.mu_q)
+        return BfvCiphertext(self.ntt_q.inv(prod))
+
+    def multiply(self, a: BfvCiphertext, b: BfvCiphertext,
+                 relinearize: bool = True) -> BfvCiphertext:
+        """ct·ct multiply via BEHZ full-RNS (crypto/behz.py), then
+        relinearization — the op that dominates the reference's cycles
+        (SealCiphertext.cpp:121-124: multiply_inplace + relinearize_inplace)."""
+        if self._behz is None:
+            from abc_tpu.crypto.behz import BehzContext
+            self._behz = BehzContext(self.params, ntt_q=self.ntt_q)
+        if a.size != 2 or b.size != 2:
+            raise RuntimeExecutionError("multiply expects size-2 ciphertexts")
+        ct3 = BfvCiphertext(self._behz.multiply(a.data, b.data))
+        return self.relinearize(ct3) if relinearize else ct3
+
+    def square(self, a: BfvCiphertext, relinearize: bool = True) -> BfvCiphertext:
+        return self.multiply(a, a, relinearize=relinearize)
+
+    def relinearize(self, ct: BfvCiphertext) -> BfvCiphertext:
+        """Size-3 → size-2 via key switching of the s² component."""
+        if ct.size == 2:
+            return ct
+        if ct.size != 3:
+            raise RuntimeExecutionError(f"cannot relinearize size-{ct.size}")
+        k0, k1 = self._key_switch(ct.data[2], self.get_relin_key())
+        xp = _xp(ct.data)
+        c0 = self.engine.add(ct.data[0], k0, self.q_q)
+        c1 = self.engine.add(ct.data[1], k1, self.q_q)
+        return BfvCiphertext(xp.stack([c0, c1]))
+
+    # ------------------------------------------------------------- key switching
+    def _key_switch(self, d, ksk) -> Tuple:
+        """d: [L, n] coeff-domain poly over q → (k0, k1) over q with
+        k0 + k1·s ≈ d·s2 (both coeff domain)."""
+        L, full, n = self.params.L, self.params.L + 1, self.params.n
+        ksk_b, ksk_a = ksk
+        xp = _xp(d)
+        q_full = self._tab["q_full"].reshape(1, full, 1)
+        mu_full = self._tab["mu_full"].reshape(1, full, 1)
+        # lift limb i's residues to the full base; a single conditional
+        # subtract is exact because all primes share one bit size
+        lifted = xp.broadcast_to(d[:, None, :], (L, full, n))
+        lifted = xp.where(lifted >= q_full, lifted - q_full, lifted)
+        D = self.ntt_qp.fwd(lifted)                     # [L, full, n]
+        tb = self.engine.mul(D, ksk_b, q_full, mu_full)
+        ta = self.engine.mul(D, ksk_a, q_full, mu_full)
+        acc_b = _acc_mod(tb, self._tab["q_full"], self.engine)
+        acc_a = _acc_mod(ta, self._tab["q_full"], self.engine)
+        acc_b = self.ntt_qp.inv(acc_b)
+        acc_a = self.ntt_qp.inv(acc_a)
+        return self._mod_switch_down(acc_b), self._mod_switch_down(acc_a)
+
+    def _mod_switch_down(self, x):
+        """[L+1, n] over q∪P → [L, n] over q: (x − centered([x]_P))·P^{-1}."""
+        L = self.params.L
+        xp = _xp(x)
+        x_q, x_P = x[:L], x[L]
+        qv = self.q_q
+        x_P_red = xp.where(x_P >= qv, x_P - qv, x_P)    # uniform prime sizes
+        over_half = x_P > _xp(x).uint32(self.P_half)
+        corr = xp.where(over_half,
+                        self.engine.sub(x_P_red, self._tab["P_mod_q"], qv),
+                        x_P_red)
+        diff = self.engine.sub(x_q, corr, qv)
+        return self.engine.mul(diff, self._tab["P_inv_mod_q"], qv, self.mu_q)
+
+    # ------------------------------------------------------------------ rotations
+    def _galois_perm_host(self, g: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Gather indices + signs applying x → x^g in coefficient domain."""
+        n = self.params.n
+        m = 2 * n
+        gather = np.empty(n, dtype=np.int64)
+        sign_pos = np.empty(n, dtype=bool)
+        for j in range(n):
+            jg = j * g % m
+            if jg < n:
+                gather[jg] = j
+                sign_pos[jg] = True
+            else:
+                gather[jg - n] = j
+                sign_pos[jg - n] = False
+        return gather, sign_pos
+
+    def _apply_automorphism_host(self, poly: np.ndarray, gather, sign_pos):
+        out = poly[..., gather]
+        q = np.asarray(self.hqp.q)[:poly.shape[-2]]
+        neg = np.where(out == 0, 0, q - out.astype(np.uint64)).astype(np.uint32)
+        return np.where(sign_pos, out, neg)
+
+    def _galois_perm(self, g: int):
+        if g not in self._perm_cache:
+            gather, sign = self._galois_perm_host(g)
+            self._perm_cache[g] = (self._dev(gather), self._dev(sign))
+        return self._perm_cache[g]
+
+    def apply_galois(self, ct: BfvCiphertext, g: int) -> BfvCiphertext:
+        if ct.size != 2:
+            raise RuntimeExecutionError("relinearize before applying Galois")
+        gather, sign_pos = self._galois_perm(g)
+        xp = _xp(ct.data)
+        out = ct.data[..., gather]
+        out = xp.where(sign_pos, out, self.engine.neg(out, self.q_q))
+        k0, k1 = self._key_switch(out[1], self.get_galois_key(g))
+        c0 = self.engine.add(out[0], k0, self.q_q)
+        return BfvCiphertext(xp.stack([c0, k1]))
+
+    def rotate_rows(self, ct: BfvCiphertext, steps: int) -> BfvCiphertext:
+        """Rotate each batching row by `steps` (positive = left), matching
+        SEAL::rotate_rows (expected vectors, RuntimeVisitorTest.cpp:100-103)."""
+        n = self.params.n
+        steps = steps % (n // 2)
+        if steps == 0:
+            return ct
+        g = pow(3, steps, 2 * n)
+        return self.apply_galois(ct, g)
+
+    def rotate_columns(self, ct: BfvCiphertext) -> BfvCiphertext:
+        """Swap the two batching rows (galois element 2n−1)."""
+        return self.apply_galois(ct, 2 * self.params.n - 1)
+
+
+# --------------------------------------------------------------------- helpers
+
+def _xp(arr):
+    if isinstance(arr, np.ndarray):
+        return np
+    import jax.numpy as jnp
+    return jnp
+
+
+def _set0(data, c0):
+    xp = _xp(data)
+    return xp.concatenate([c0[None], data[1:]], axis=0)
+
+
+def _acc_mod(terms, q, engine):
+    """Modular sum over the leading axis: [K, L, n] → [L, n]."""
+    if isinstance(terms, np.ndarray):
+        s = terms.astype(np.uint64).sum(axis=0)
+        return (s % q.astype(np.uint64)).astype(np.uint32)
+    acc = terms[0]
+    for k in range(1, terms.shape[0]):
+        acc = engine.add(acc, terms[k], q)
+    return acc

@@ -1,0 +1,176 @@
+"""Negacyclic NTT over RNS limbs — the workhorse of the crypto engine.
+
+Replaces SEAL's NTT (used inside every multiply/rotate the reference
+dispatches to, SealCiphertext.cpp:121-124). Layout: polynomials are
+uint32 arrays [..., L, n]; each limb transforms independently, which is what
+makes RNS-limb sharding across TPU chips communication-free for NTTs
+(SURVEY.md §2.6).
+
+Algorithm: iterative Cooley-Tukey (forward, natural → bit-reversed order)
+with Gentleman-Sande inverse built as the exact stage-by-stage inverse, so
+correctness holds by construction. Twiddles ψ^brv(k) are precomputed per limb
+with Shoup companions for the fixed-operand multiplication path.
+
+Evaluation-order convention (verified by tests/test_ntt.py):
+  forward-NTT output position p holds the evaluation of the polynomial at
+  ψ^(2·bitrev(p)+1). The batch encoder builds its slot↔position maps on top
+  of this convention.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from abc_tpu.crypto.numthy import find_minimal_2nth_root, modinv
+from abc_tpu.ops.modarith import barrett_mu, get_engine, shoup
+
+
+def bit_reverse(x: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+class NttContext:
+    """Precomputed twiddle tables for one (n, moduli) pair."""
+
+    def __init__(self, n: int, moduli: Sequence[int], engine: str = "np64"):
+        assert n & (n - 1) == 0, "n must be a power of two"
+        self.n = n
+        self.logn = n.bit_length() - 1
+        self.moduli = list(moduli)
+        self.engine_name = engine
+        self.engine = get_engine(engine)
+        L = len(self.moduli)
+
+        fwd = np.zeros((L, n), dtype=np.uint32)
+        inv = np.zeros((L, n), dtype=np.uint32)
+        fwd_sh = np.zeros((L, n), dtype=np.uint32)
+        inv_sh = np.zeros((L, n), dtype=np.uint32)
+        n_inv = np.zeros((L, 1), dtype=np.uint32)
+        n_inv_sh = np.zeros((L, 1), dtype=np.uint32)
+        self.psi = []
+        for l, q in enumerate(self.moduli):
+            psi = find_minimal_2nth_root(n, q)
+            self.psi.append(psi)
+            powers = [1] * n
+            for i in range(1, n):
+                powers[i] = powers[i - 1] * psi % q
+            for k in range(n):
+                w = powers[bit_reverse(k, self.logn)]
+                fwd[l, k] = w
+                fwd_sh[l, k] = shoup(w, q)
+                wi = modinv(w, q)
+                inv[l, k] = wi
+                inv_sh[l, k] = shoup(wi, q)
+            ninv = modinv(n, q)
+            n_inv[l, 0] = ninv
+            n_inv_sh[l, 0] = shoup(ninv, q)
+
+        self.q = np.asarray(self.moduli, dtype=np.uint32).reshape(L, 1)
+        self.mu = np.asarray([barrett_mu(q) for q in self.moduli],
+                             dtype=np.uint32).reshape(L, 1)
+        self.fwd_tw, self.fwd_tw_sh = fwd, fwd_sh
+        self.inv_tw, self.inv_tw_sh = inv, inv_sh
+        self.n_inv, self.n_inv_sh = n_inv, n_inv_sh
+        if engine == "jx32":
+            assert all((1 << 29) <= q < (1 << 30) for q in self.moduli), \
+                "jx32 engine requires 30-bit moduli (Barrett range)"
+            import jax
+            import jax.numpy as jnp
+            for name in ("q", "mu", "fwd_tw", "fwd_tw_sh", "inv_tw",
+                         "inv_tw_sh", "n_inv", "n_inv_sh"):
+                setattr(self, name, jnp.asarray(getattr(self, name)))
+            # jit the transforms: one compile per input shape, then fast
+            self.fwd = jax.jit(self.fwd)
+            self.inv = jax.jit(self.inv)
+            self.negacyclic_mul = jax.jit(self.negacyclic_mul)
+
+    # --- transforms -----------------------------------------------------------
+    def fwd(self, a):
+        """Forward negacyclic NTT along the last axis ([..., L, n])."""
+        e = self.engine
+        n = self.n
+        batch = a.shape[:-2]
+        L = a.shape[-2]
+        m = 1
+        while m < n:
+            t = n // (2 * m)
+            x = a.reshape(batch + (L, m, 2, t))
+            w = self.fwd_tw[:, m:2 * m].reshape((L, m, 1))
+            wsh = self.fwd_tw_sh[:, m:2 * m].reshape((L, m, 1))
+            q = self.q.reshape((L, 1, 1))
+            u = x[..., 0, :]
+            v = e.mul_shoup(x[..., 1, :], w, wsh, q)
+            a = _stack_pairs(e.add(u, v, q), e.sub(u, v, q), batch, L, m, t)
+            m *= 2
+        return a
+
+    def inv(self, a):
+        """Inverse negacyclic NTT along the last axis (exact inverse of fwd)."""
+        e = self.engine
+        n = self.n
+        batch = a.shape[:-2]
+        L = a.shape[-2]
+        m = n // 2
+        while m >= 1:
+            t = n // (2 * m)
+            x = a.reshape(batch + (L, m, 2, t))
+            w = self.inv_tw[:, m:2 * m].reshape((L, m, 1))
+            wsh = self.inv_tw_sh[:, m:2 * m].reshape((L, m, 1))
+            q = self.q.reshape((L, 1, 1))
+            u = x[..., 0, :]
+            v = x[..., 1, :]
+            s = e.add(u, v, q)
+            d = e.mul_shoup(e.sub(u, v, q), w, wsh, q)
+            a = _stack_pairs(s, d, batch, L, m, t)
+            m //= 2
+        # scale by n^{-1}
+        return e.mul_shoup(a, self.n_inv, self.n_inv_sh, self.q)
+
+    # --- pointwise helpers ------------------------------------------------------
+    def pointwise_mul(self, a, b):
+        return self.engine.mul(a, b, self.q, self.mu)
+
+    def add(self, a, b):
+        return self.engine.add(a, b, self.q)
+
+    def sub(self, a, b):
+        return self.engine.sub(a, b, self.q)
+
+    def neg(self, a):
+        return self.engine.neg(a, self.q)
+
+    def negacyclic_mul(self, a, b):
+        """Full polynomial product in R_q = Z_q[x]/(x^n+1) via NTT."""
+        return self.inv(self.pointwise_mul(self.fwd(a), self.fwd(b)))
+
+
+def _stack_pairs(top, bot, batch, L, m, t):
+    xp = np if isinstance(top, np.ndarray) else _jnp()
+    out = xp.stack([top, bot], axis=-2)  # [..., L, m, 2, t]
+    return out.reshape(batch + (L, m * 2 * t))
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+def negacyclic_mul_naive(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
+    """Schoolbook negacyclic product (test oracle), one limb."""
+    n = a.shape[-1]
+    res = np.zeros(n, dtype=object)
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            v = int(a[i]) * int(b[j])
+            if k >= n:
+                res[k - n] -= v
+            else:
+                res[k] += v
+    return np.asarray([int(x) % q for x in res], dtype=np.uint32)

@@ -1,0 +1,89 @@
+"""FHE parameter sets.
+
+Replaces SEAL's EncryptionParameters/SEALContext (reference:
+SealCiphertextFactory::setupSealContext, SealCiphertextFactory.cpp:72-100:
+BFV, poly_modulus_degree = slot count, CoeffModulus::BFVDefault, 20-bit
+batching plain modulus). The reference has no config system (SURVEY.md §5);
+this Params dataclass is the explicit version.
+
+Prime budget: all coefficient-modulus primes are < 2^30 so the TPU uint32
+engine (ops/modarith.jx32) applies. Total coeff-modulus bits stay within the
+HE-standard budget for each n (109/218/438 bits at n = 4096/8192/16384); the
+LAST prime in coeff_modulus is the key-switching special prime and does not
+carry ciphertext data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import List, Optional
+
+from abc_tpu.crypto.numthy import gen_ntt_primes
+
+# bit sizes per n: (data primes, special prime) — all 30-bit or smaller,
+# chosen to fit the HE-standard 128-bit-security modulus budget
+# Note: with a 20-bit plain modulus, one plaintext/ciphertext multiply grows
+# the noise by ~t·n ≈ 2^30-2^33, so at least 3 data limbs (Δ = q/t ≥ 2^70)
+# are needed for any multiplicative depth. The n ≤ 4096 presets therefore
+# trade the strict 128-bit-security modulus budget (109 bits at n=4096) for
+# usability and carry no security claim — production sizes are 8192+.
+_DEFAULT_CHAIN = {
+    1024: ([30] * 3, 30),      # dev/test size
+    2048: ([30] * 3, 30),      # dev/test size
+    4096: ([30] * 3, 30),      # dev-grade (120 bits > 109-bit 128-sec budget)
+    8192: ([30] * 6, 30),      # 210 ≤ 218
+    16384: ([30] * 13, 30),    # 420 ≤ 438
+    32768: ([30] * 27, 30),    # 840 ≤ 881
+}
+
+
+@dataclass
+class BfvParams:
+    """Parameters for one BFV scheme instance."""
+
+    n: int
+    coeff_modulus: List[int]          # data primes + special prime (last)
+    plain_modulus: int                # t, prime ≡ 1 (mod 2n) for batching
+    engine: str = "np64"              # modarith engine: np64 (CPU) | jx32 (TPU)
+    seed: Optional[int] = None        # deterministic keygen/encryption for tests
+    error_std: float = 3.2            # discrete gaussian σ (SEAL default)
+
+    @property
+    def data_primes(self) -> List[int]:
+        return self.coeff_modulus[:-1]
+
+    @property
+    def special_prime(self) -> int:
+        return self.coeff_modulus[-1]
+
+    @property
+    def L(self) -> int:
+        """Number of data limbs (excludes the special prime)."""
+        return len(self.coeff_modulus) - 1
+
+    @property
+    def q(self) -> int:
+        """Product of the data primes (the ciphertext modulus)."""
+        return reduce(lambda a, b: a * b, self.data_primes, 1)
+
+    @property
+    def qp(self) -> int:
+        return self.q * self.special_prime
+
+    @property
+    def slot_count(self) -> int:
+        return self.n
+
+    @staticmethod
+    def create(n: int, engine: str = "np64", plain_bits: int = 20,
+               seed: Optional[int] = None) -> "BfvParams":
+        """BFVDefault-style preset (ref: SealCiphertextFactory.cpp:72-100)."""
+        if n not in _DEFAULT_CHAIN:
+            raise ValueError(f"no default parameter chain for n={n}")
+        sizes, special_bits = _DEFAULT_CHAIN[n]
+        assert all(b == special_bits for b in sizes), "presets use uniform primes"
+        t = gen_ntt_primes(plain_bits, 1, n)[0]
+        primes = gen_ntt_primes(special_bits, len(sizes) + 1, n, exclude=[t])
+        return BfvParams(n=n, coeff_modulus=primes, plain_modulus=t,
+                         engine=engine, seed=seed)

@@ -1,0 +1,204 @@
+"""BFV scheme tests: encode/decode round trips, encrypt/decrypt, homomorphic
+add/sub/plain-mult, rotations — np64 engine at small n for speed.
+
+Reference test tier: test/runtime/SealCiphertextFactoryTest.cpp op matrix.
+"""
+
+import numpy as np
+import pytest
+
+from abc_tpu.crypto.bfv import BfvContext, Plaintext
+from abc_tpu.crypto.params import BfvParams
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return BfvContext(BfvParams.create(1024, seed=42))
+
+
+def enc_values(ctx, values):
+    return ctx.encrypt(ctx.encode(values))
+
+
+def dec_values(ctx, ct, count):
+    return ctx.decode(ctx.decrypt(ct))[:count]
+
+
+def test_params_create():
+    p = BfvParams.create(1024)
+    assert p.L >= 1 and p.plain_modulus % (2 * 1024) == 1
+    assert all(q % (2 * 1024) == 1 for q in p.coeff_modulus)
+    assert len(set(p.coeff_modulus)) == len(p.coeff_modulus)
+    assert p.plain_modulus not in p.coeff_modulus
+
+
+def test_encode_decode_roundtrip(ctx):
+    vals = [1, 2, 3, -4, 0, 7, 100000, -99999]
+    pt = ctx.encode(vals)
+    assert ctx.decode(pt)[:len(vals)] == vals
+
+
+def test_encode_decode_full_slots(ctx):
+    n = ctx.params.n
+    vals = [(i * 37 - 500) % 1000 for i in range(n)]
+    got = ctx.decode(ctx.encode(vals))
+    assert got == [v % ctx.params.plain_modulus for v in vals] or got is not None
+    # exact check with centered decode
+    t = ctx.params.plain_modulus
+    expected = [((v % t) if (v % t) <= t // 2 else (v % t) - t) for v in vals]
+    assert got == expected
+
+
+def test_encrypt_decrypt(ctx):
+    vals = [5, -3, 12345, 0, 1]
+    ct = enc_values(ctx, vals)
+    assert dec_values(ctx, ct, len(vals)) == vals
+    assert ctx.noise_budget(ct) > 0
+
+
+def test_homomorphic_add_sub(ctx):
+    a = enc_values(ctx, [1, 2, 3, -7])
+    b = enc_values(ctx, [10, -20, 30, 7])
+    assert dec_values(ctx, ctx.add(a, b), 4) == [11, -18, 33, 0]
+    assert dec_values(ctx, ctx.sub(a, b), 4) == [-9, 22, -27, -14]
+    assert dec_values(ctx, ctx.negate(a), 4) == [-1, -2, -3, 7]
+
+
+def test_add_sub_plain(ctx):
+    a = enc_values(ctx, [1, 2, 3])
+    p = ctx.encode([100, 200, 300])
+    assert dec_values(ctx, ctx.add_plain(a, p), 3) == [101, 202, 303]
+    assert dec_values(ctx, ctx.sub_plain(a, p), 3) == [-99, -198, -297]
+    assert dec_values(ctx, ctx.sub_from_plain(a, p), 3) == [99, 198, 297]
+
+
+def test_multiply_plain(ctx):
+    a = enc_values(ctx, [1, 2, 3, -4])
+    p = ctx.encode([10, -10, 7, 7])
+    assert dec_values(ctx, ctx.multiply_plain(a, p), 4) == [10, -20, 21, -28]
+
+
+def test_multiply_plain_budget_drops(ctx):
+    a = enc_values(ctx, [3] * 8)
+    before = ctx.noise_budget(a)
+    after = ctx.noise_budget(ctx.multiply_plain(a, ctx.encode([1000] * 8)))
+    assert after < before and after > 0
+
+
+def test_rotate_rows_left(ctx):
+    n = ctx.params.n
+    vals = list(range(16))
+    ct = enc_values(ctx, vals)
+    rot = ctx.rotate_rows(ct, 1)
+    got = dec_values(ctx, rot, 15)
+    # positive steps rotate each row left: slot i takes old slot i+1
+    assert got == vals[1:16]
+
+
+def test_rotate_rows_negative_wraps(ctx):
+    n = ctx.params.n
+    half = n // 2
+    vals = [7] * half  # fill row 0 entirely
+    vals[0] = 1
+    ct = ctx.encrypt(ctx.encode(vals))
+    rot = ctx.rotate_rows(ct, -4)
+    got = ctx.decode(ctx.decrypt(rot))
+    # row 0 rotated right by 4: the 1 moves from slot 0 to slot 4
+    assert got[4] == 1 and got[0] == 7 and got[3] == 7 and got[5] == 7
+
+
+def test_rotate_columns_swaps_rows(ctx):
+    n = ctx.params.n
+    half = n // 2
+    vals = [1] * half + [2] * half
+    ct = ctx.encrypt(ctx.encode(vals))
+    got = ctx.decode(ctx.decrypt(ctx.rotate_columns(ct)))
+    assert got[:half] == [2] * half and got[half:] == [1] * half
+
+
+def test_rotation_composes(ctx):
+    vals = list(range(32))
+    ct = enc_values(ctx, vals)
+    r = ctx.rotate_rows(ctx.rotate_rows(ct, 3), 2)
+    assert dec_values(ctx, r, 20) == vals[5:25]
+
+
+def test_noise_budget_positive_after_rotation(ctx):
+    ct = enc_values(ctx, [1, 2, 3])
+    assert ctx.noise_budget(ctx.rotate_rows(ct, 1)) > 0
+
+
+# --- ct-ct multiplication (BEHZ) ------------------------------------------------
+
+def test_multiply_basic(ctx):
+    a = enc_values(ctx, [1, 2, 3, -4, 0, 100])
+    b = enc_values(ctx, [5, -6, 7, 8, 9, 100])
+    prod = ctx.multiply(a, b)
+    assert prod.size == 2
+    assert dec_values(ctx, prod, 6) == [5, -12, 21, -32, 0, 10000]
+    assert ctx.noise_budget(prod) > 0
+
+
+def test_multiply_without_relin_decrypts(ctx):
+    a = enc_values(ctx, [3, -5])
+    b = enc_values(ctx, [7, 11])
+    prod = ctx.multiply(a, b, relinearize=False)
+    assert prod.size == 3
+    assert dec_values(ctx, prod, 2) == [21, -55]
+
+
+def test_square(ctx):
+    a = enc_values(ctx, [0, 1, -1, 12, -300])
+    assert dec_values(ctx, ctx.square(a), 5) == [0, 1, 1, 144, 90000]
+
+
+def test_multiply_then_add_and_rotate(ctx):
+    a = enc_values(ctx, [1, 2, 3, 4])
+    b = enc_values(ctx, [10, 20, 30, 40])
+    prod = ctx.multiply(a, b)          # [10, 40, 90, 160]
+    s = ctx.add(prod, a)               # [11, 42, 93, 164]
+    r = ctx.rotate_rows(s, 1)          # [42, 93, 164, ...]
+    assert dec_values(ctx, r, 3) == [42, 93, 164]
+
+
+def test_multiply_depth_two():
+    # depth 2 needs headroom: the dev q (90 bits) with a 20-bit t leaves
+    # ~2^69 of noise room vs ~2^70 depth-2 noise — so use a 16-bit t here
+    ctx = BfvContext(BfvParams.create(1024, seed=42, plain_bits=16))
+    a = enc_values(ctx, [2, 3])
+    b = enc_values(ctx, [5, 7])
+    c = enc_values(ctx, [11, 13])
+    p1 = ctx.multiply(a, b)
+    p2 = ctx.multiply(p1, c)
+    assert dec_values(ctx, p2, 2) == [110, 273]
+    assert ctx.noise_budget(p2) > 0
+
+
+def test_noise_budget_decreases_monotonically(ctx):
+    a = enc_values(ctx, [2, 3])
+    b = enc_values(ctx, [5, 7])
+    fresh = ctx.noise_budget(a)
+    after1 = ctx.noise_budget(ctx.multiply(a, b))
+    assert fresh > after1 > 0
+
+
+# --- cross-engine bit-exactness (SURVEY.md §7 hard part #2) --------------------
+
+def test_jx32_engine_bit_exact_full_pipeline():
+    """Same seed → identical keys; every homomorphic op must produce
+    bit-identical ciphertexts on the np64 (CPU oracle) and jx32 (TPU uint32)
+    engines."""
+    import numpy as np
+    c_np = BfvContext(BfvParams.create(1024, seed=7, engine="np64"))
+    c_jx = BfvContext(BfvParams.create(1024, seed=7, engine="jx32"))
+
+    vals_a, vals_b = [1, -2, 3000, 4], [9, 8, -7, 6]
+    a_np, a_jx = c_np.encrypt(c_np.encode(vals_a)), c_jx.encrypt(c_jx.encode(vals_a))
+    b_np, b_jx = c_np.encrypt(c_np.encode(vals_b)), c_jx.encrypt(c_jx.encode(vals_b))
+    np.testing.assert_array_equal(np.asarray(a_jx.data), a_np.data)
+
+    r_np = c_np.rotate_rows(c_np.multiply(c_np.add(a_np, b_np), b_np), 2)
+    r_jx = c_jx.rotate_rows(c_jx.multiply(c_jx.add(a_jx, b_jx), b_jx), 2)
+    np.testing.assert_array_equal(np.asarray(r_jx.data), r_np.data)
+    expected = [(x + y) * y for x, y in zip(vals_a, vals_b)][2:]
+    assert dec_values(c_np, r_np, 2) == expected
