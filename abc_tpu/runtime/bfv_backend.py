@@ -1,0 +1,116 @@
+"""BFV runtime backend: the SealCiphertextFactory/SealCiphertext equivalent.
+
+Reference: src/runtime/SealCiphertextFactory.cpp (factory owning context +
+keys, createCiphertext/decryptCiphertext, last-element expandVector padding
+:102-115) and SealCiphertext.cpp (op dispatch; every multiply followed by
+relinearization :102-124; rotateRows via Galois keys :52-61). Here the crypto
+engine is abc_tpu.crypto (JAX/TPU) instead of SEAL (CPU).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from abc_tpu.crypto.bfv import BfvCiphertext, BfvContext, Plaintext
+from abc_tpu.crypto.params import BfvParams
+from abc_tpu.runtime.backend import AbstractCiphertextFactory
+from abc_tpu.runtime.values import AbstractCiphertext, Cleartext
+from abc_tpu.utils.errors import RuntimeExecutionError
+
+
+class TpuBfvCiphertext(AbstractCiphertext):
+    """Ciphertext handle dispatching to the BFV context (pure ops)."""
+
+    __slots__ = ("ct", "factory")
+
+    def __init__(self, ct: BfvCiphertext, factory: "BfvCiphertextFactory"):
+        self.ct = ct
+        self.factory = factory
+
+    def _ctx(self) -> BfvContext:
+        return self.factory.context
+
+    # ctxt ⊕ ctxt — every multiply is relinearized immediately, matching the
+    # reference (SealCiphertext.cpp:121-124)
+    def add(self, other):
+        return TpuBfvCiphertext(self._ctx().add(self.ct, other.ct), self.factory)
+
+    def subtract(self, other):
+        return TpuBfvCiphertext(self._ctx().sub(self.ct, other.ct), self.factory)
+
+    def multiply(self, other):
+        return TpuBfvCiphertext(self._ctx().multiply(self.ct, other.ct), self.factory)
+
+    # ctxt ⊕ plain
+    def _encode(self, cleartext: Cleartext) -> Plaintext:
+        return self.factory.encode_cleartext(cleartext)
+
+    def add_plain(self, other):
+        return TpuBfvCiphertext(self._ctx().add_plain(self.ct, self._encode(other)),
+                                self.factory)
+
+    def subtract_plain(self, other):
+        return TpuBfvCiphertext(self._ctx().sub_plain(self.ct, self._encode(other)),
+                                self.factory)
+
+    def subtract_from_plain(self, other):
+        return TpuBfvCiphertext(
+            self._ctx().sub_from_plain(self.ct, self._encode(other)), self.factory)
+
+    def multiply_plain(self, other):
+        return TpuBfvCiphertext(
+            self._ctx().multiply_plain(self.ct, self._encode(other)), self.factory)
+
+    def rotate_rows(self, steps: int):
+        return TpuBfvCiphertext(self._ctx().rotate_rows(self.ct, steps), self.factory)
+
+    def rotate_columns(self):
+        return TpuBfvCiphertext(self._ctx().rotate_columns(self.ct), self.factory)
+
+    def clone(self):
+        return TpuBfvCiphertext(self.ct, self.factory)  # immutable: share
+
+    def noise_bits(self) -> int:
+        """ref: SealCiphertext::noiseBits (SealCiphertext.cpp:80-83)."""
+        return self._ctx().noise_budget(self.ct)
+
+
+class BfvCiphertextFactory(AbstractCiphertextFactory):
+    """Factory owning the BFV context + keys (ref: SealCiphertextFactory.h:12-40;
+    default n = 16384 there, configurable like SealCiphertextFactory(slots))."""
+
+    def __init__(self, slots: int = 8192, engine: Optional[str] = None,
+                 seed: Optional[int] = None, plain_bits: int = 20):
+        if engine is None:
+            import jax
+            engine = "jx32" if jax.default_backend() == "tpu" else "np64"
+        self.params = BfvParams.create(slots, engine=engine, seed=seed,
+                                       plain_bits=plain_bits)
+        self.context = BfvContext(self.params)
+
+    @property
+    def slot_count(self) -> int:
+        return self.params.slot_count
+
+    def encode_cleartext(self, cleartext: Cleartext) -> Plaintext:
+        """Cleartext → plaintext with last-element padding to all slots
+        (ref: expandVector, SealCiphertextFactory.cpp:102-115)."""
+        vals = [int(v) for v in cleartext.values]
+        return self.context.encode(self.expand_vector(vals))
+
+    def create_ciphertext(self, value: Union[Cleartext, Sequence[int], int]
+                          ) -> TpuBfvCiphertext:
+        if isinstance(value, Cleartext):
+            vals = [int(v) for v in value.values]
+        elif isinstance(value, (int,)):
+            vals = [int(value)]
+        else:
+            vals = [int(v) for v in value]
+        pt = self.context.encode(self.expand_vector(vals))
+        return TpuBfvCiphertext(self.context.encrypt(pt), self)
+
+    def decrypt(self, ciphertext: AbstractCiphertext) -> List[int]:
+        if not isinstance(ciphertext, TpuBfvCiphertext):
+            raise RuntimeExecutionError(
+                "BfvCiphertextFactory can only decrypt its own ciphertexts")
+        return self.context.decode(self.context.decrypt(ciphertext.ct))

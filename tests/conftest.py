@@ -1,11 +1,19 @@
 """Test configuration: force JAX onto CPU with 8 virtual devices so the
 multi-chip sharding paths can be exercised without TPU hardware
-(SURVEY.md §4 "multi-node without a cluster")."""
+(SURVEY.md §4 "multi-node without a cluster").
+
+NOTE: this environment's sitecustomize registers the axon TPU plugin for
+every Python process and overrides the JAX_PLATFORMS env var, so the only
+reliable way to force CPU is jax.config.update after import.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
