@@ -188,11 +188,10 @@ class Parser:
         self.ts.expect("(")
         init_stmts: List[AbstractStatement] = []
         if not self.ts.current.is_reserved(";"):
-            init_stmts.append(self.parse_statement())
+            init_stmts.append(self.parse_statement(gobble_semicolon=False))
             while self.ts.accept(","):
-                init_stmts.append(self.parse_statement())
-        else:
-            self.ts.expect(";")
+                init_stmts.append(self.parse_statement(gobble_semicolon=False))
+        self.ts.expect(";")
         initializer = self._note(Block(init_stmts))
         condition = self.parse_expression()
         self.ts.expect(";")

@@ -1,0 +1,101 @@
+"""Compilation pipeline driver.
+
+The reference has NO single compile() entry point — every e2e test assembles
+passes manually (SURVEY.md §3.2); the intended order is named by the staged
+test stubs (CardioTest.cpp:56-79): typeCheck → CTES → secretBranchingRemoval
+→ loopUnrolling → statementVectorization. This module provides that driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from abc_tpu.ast_ir.nodes import AbstractNode, Block, VariableDeclaration
+from abc_tpu.parser import Parser
+from abc_tpu.passes.ctes import run_ctes
+from abc_tpu.passes.secret_branching import run_secret_branching
+from abc_tpu.passes.type_checking import TypeCheckingVisitor, run_type_checking
+from abc_tpu.passes.unroll import run_loop_unrolling
+from abc_tpu.utils.datatype import Datatype
+
+
+@dataclass
+class CompileOptions:
+    ctes: bool = True
+    secret_branching: bool = True
+    loop_unrolling: bool = True
+    vectorize: bool = False        # batching pass (off by default, like the
+                                   # reference's WIP Vectorizer)
+    max_unroll_iterations: int = 65536
+
+
+@dataclass
+class CompiledProgram:
+    ast: Block
+    tcv: TypeCheckingVisitor
+    input_types: Dict[str, Datatype]
+
+    @property
+    def secret_tainted(self) -> Dict[str, bool]:
+        return self.tcv.get_secret_tainted_nodes()
+
+
+class Compiler:
+    """parse → typecheck → CTES → secret-branch lowering → unroll [→ batch]."""
+
+    def __init__(self, options: Optional[CompileOptions] = None):
+        self.options = options or CompileOptions()
+
+    def compile_source(self, program_src: str,
+                       input_types: Dict[str, Datatype]) -> CompiledProgram:
+        return self.compile_ast(Parser.parse(program_src), input_types)
+
+    def compile_ast(self, ast: Block,
+                    input_types: Dict[str, Datatype]) -> CompiledProgram:
+        opts = self.options
+        tcv = run_type_checking(ast, input_types)
+
+        if opts.ctes:
+            ast = run_ctes(ast)
+            tcv = run_type_checking(ast, input_types)
+
+        if opts.secret_branching:
+            run_secret_branching(ast, tcv.get_secret_tainted_nodes(),
+                                 input_types.keys())
+            tcv = run_type_checking(ast, input_types)
+
+        if opts.loop_unrolling:
+            ast = run_loop_unrolling(ast, opts.max_unroll_iterations)
+            if opts.ctes:
+                ast = run_ctes(ast)   # fold the literal indices just created
+            tcv = run_type_checking(ast, input_types)
+
+        if opts.vectorize:
+            from abc_tpu.passes.vectorizer import run_vectorizer
+            ast = run_vectorizer(ast, input_types, tcv)
+            tcv = run_type_checking(ast, input_types)
+
+        return CompiledProgram(ast=ast, tcv=tcv, input_types=dict(input_types))
+
+
+def compile_program(program_src: str, input_types: Dict[str, Datatype],
+                    options: Optional[CompileOptions] = None) -> CompiledProgram:
+    return Compiler(options).compile_source(program_src, input_types)
+
+
+def input_types_from_ast(input_ast: Block) -> Dict[str, Datatype]:
+    """Extract {identifier: Datatype} from an input-declarations AST."""
+    return {d.target.identifier: d.datatype for d in input_ast.children()
+            if isinstance(d, VariableDeclaration)}
+
+
+def run_compiled(compiled: CompiledProgram, input_ast: Block, output_ast: Block,
+                 factory):
+    """Execute a compiled program with the three-AST protocol; returns
+    (RuntimeVisitor, output pairs)."""
+    from abc_tpu.runtime.executor import RuntimeVisitor
+
+    rv = RuntimeVisitor(factory, input_ast, compiled.secret_tainted)
+    rv.execute_ast(compiled.ast)
+    return rv, rv.get_output(output_ast)
