@@ -114,7 +114,13 @@ class BfvContext:
         self.relin_key: Optional[Tuple] = None
         self.galois_keys: Dict[int, Tuple] = {}
         self._perm_cache: Dict[int, Tuple] = {}
-        self._behz = None  # lazily-built BEHZ multiplication context
+        # BEHZ multiply context: built EAGERLY for jx32 (its device tables
+        # must not be created inside a jit trace — see _make_ksk note),
+        # lazily for np64
+        self._behz = None
+        if self._on_device:
+            from abc_tpu.crypto.behz import BehzContext
+            self._behz = BehzContext(params, ntt_q=self.ntt_q)
 
     # convenient table views ----------------------------------------------------
     @property
@@ -177,7 +183,11 @@ class BfvContext:
             b_i = h.add(h.sub(h.neg(h.pointwise_mul(a_i, self.s_ntt_full)), e_i),
                         term)
             ksk_b[i], ksk_a[i] = b_i, a_i
-        return self._dev(ksk_b), self._dev(ksk_a)
+        # NOTE: returned as HOST numpy arrays. Keys may be generated lazily
+        # inside a jit trace; jax 0.9 turns device constants created during
+        # tracing into tracers, so caching converted arrays would leak.
+        # numpy constants are always trace-safe.
+        return ksk_b, ksk_a
 
     def get_relin_key(self) -> Tuple:
         if self.relin_key is None:
@@ -428,8 +438,8 @@ class BfvContext:
 
     def _galois_perm(self, g: int):
         if g not in self._perm_cache:
-            gather, sign = self._galois_perm_host(g)
-            self._perm_cache[g] = (self._dev(gather), self._dev(sign))
+            # host numpy (trace-safe; see _make_ksk note)
+            self._perm_cache[g] = self._galois_perm_host(g)
         return self._perm_cache[g]
 
     def apply_galois(self, ct: BfvCiphertext, g: int) -> BfvCiphertext:

@@ -1,0 +1,119 @@
+"""Multi-chip "full step" used by __graft_entry__.dryrun_multichip and the
+sharding tests: a batched encrypted computation jitted over a 2-D
+(dp × limb) mesh.
+
+Per batched ciphertext pair: ct_sum = a ⊞ b, then rotate_rows(ct_sum, 1) with
+the key-switch decomposition contraction sharded over "limb" (psum over ICI)
+while the batch is sharded over "dp". This exercises both mesh axes with real
+collectives in a single jitted shard_map program.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from abc_tpu.crypto.bfv import BfvContext
+from abc_tpu.crypto.numthy import gen_ntt_primes
+from abc_tpu.crypto.params import BfvParams
+from abc_tpu.parallel.sharding import (
+    _local_key_switch_partials, _psum_mod, _shard_map, make_mesh,
+)
+
+
+def build_context(n: int, data_limbs: int, seed: int = 11) -> BfvContext:
+    """BFV context with an explicit number of data limbs (so the limb mesh
+    axis divides L evenly)."""
+    t = gen_ntt_primes(20, 1, n)[0]
+    primes = gen_ntt_primes(30, data_limbs + 1, n, exclude=[t])
+    return BfvContext(BfvParams(n=n, coeff_modulus=primes, plain_modulus=t,
+                                engine="jx32", seed=seed))
+
+
+def make_multichip_step(ctx: BfvContext, mesh: Mesh, steps: int = 1):
+    """Returns a jitted step: (batch_a, batch_b, ksk_b, ksk_a) → batch_out.
+
+    batch_*: [B, 2, L, n] sharded over "dp" on axis 0
+    ksk_*:   [L, L+1, n]  sharded over "limb" on axis 0
+    """
+    L = ctx.params.L
+    n = ctx.params.n
+    limb_size = mesh.shape["limb"]
+    assert L % limb_size == 0, "limb mesh axis must divide L"
+    Lk = L // limb_size
+    g = pow(3, steps % (n // 2), 2 * n)
+    gather, sign_pos = ctx._galois_perm(g)
+    gather = jnp.asarray(np.asarray(gather))
+    sign_pos = jnp.asarray(np.asarray(sign_pos))
+    q_q = ctx.q_q
+    q_full = ctx._tab["q_full"]
+    mu_full = ctx._tab["mu_full"]
+    e = ctx.engine
+
+    def kernel(a, b, kb, ka):
+        # a, b: [Bl, 2, L, n] local batch shard
+        s = e.add(a, b, q_q)
+        # Galois automorphism (local permutation with signs)
+        out = s[..., gather]
+        out = jnp.where(sign_pos, out, e.neg(out, q_q))
+        d_all = out[:, 1]                                   # [Bl, L, n]
+        i = jax.lax.axis_index("limb")
+        d_loc = jax.lax.dynamic_slice_in_dim(d_all, i * Lk, Lk, axis=1)
+        pb, pa = jax.vmap(
+            lambda dd: _local_key_switch_partials(ctx, dd, kb, ka))(d_loc)
+        pb = _psum_mod(pb, q_full, mu_full, "limb", e)
+        pa = _psum_mod(pa, q_full, mu_full, "limb", e)
+        acc_b = ctx.ntt_qp.inv(pb)
+        acc_a = ctx.ntt_qp.inv(pa)
+        k0 = jax.vmap(ctx._mod_switch_down)(acc_b)
+        k1 = jax.vmap(ctx._mod_switch_down)(acc_a)
+        c0 = e.add(out[:, 0], k0, q_q)
+        return jnp.stack([c0, k1], axis=1)                  # [Bl, 2, L, n]
+
+    sharded = _shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("limb", None, None), P("limb", None, None)),
+        out_specs=P("dp"),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def run_dryrun(n_devices: int, n: int = 256, verbose: bool = True) -> None:
+    """Build an n_devices mesh, jit the full sharded step, run one step on
+    tiny shapes, and check the decrypted result against the expected values."""
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"dryrun needs {n_devices} devices, found {len(devices)} "
+            f"({devices[0].platform}); set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count and force the "
+            "cpu platform")
+    dp = 2 if (n_devices % 2 == 0 and n_devices >= 4) else 1
+    limb = n_devices // dp
+    mesh = make_mesh(dp=dp, limb=limb, devices=devices)
+
+    ctx = build_context(n=n, data_limbs=limb)
+    B = 2 * dp
+    batch_vals = [[j + 1 for j in range(4)] for _ in range(B)]
+    cts_a = [ctx.encrypt(ctx.encode(v)) for v in batch_vals]
+    cts_b = [ctx.encrypt(ctx.encode(v)) for v in batch_vals]
+    a = jnp.stack([jnp.asarray(np.asarray(c.data)) for c in cts_a])
+    b = jnp.stack([jnp.asarray(np.asarray(c.data)) for c in cts_b])
+    ksk_b, ksk_a = ctx.get_galois_key(pow(3, 1, 2 * n))
+
+    step = make_multichip_step(ctx, mesh, steps=1)
+    out = jax.block_until_ready(step(a, b, ksk_b, ksk_a))
+
+    # verify one batch element decrypts to rotate(a+b, 1)
+    from abc_tpu.crypto.bfv import BfvCiphertext
+    got = ctx.decode(ctx.decrypt(BfvCiphertext(np.asarray(out[0]))))[:3]
+    expected = [2 * v for v in batch_vals[0][1:4]]
+    assert got == expected, f"dryrun mismatch: {got} != {expected}"
+    if verbose:
+        print(f"dryrun_multichip OK: mesh dp={dp} x limb={limb}, "
+              f"n={n}, L={ctx.params.L}, batch={B}, decrypted {got}")

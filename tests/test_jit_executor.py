@@ -1,0 +1,86 @@
+"""Whole-program JIT execution tests: the full pipeline (parse → passes →
+trace → one XLA program) must match the eager executor bit-for-bit."""
+
+import numpy as np
+import pytest
+
+from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+from abc_tpu.runtime.jit_executor import jit_compile_program
+
+
+@pytest.fixture(scope="module")
+def factory():
+    return BfvCiphertextFactory(slots=1024, engine="jx32", seed=9)
+
+
+def test_jitted_hamming_distance(factory):
+    prog = jit_compile_program(
+        program_src="""
+          secret int diff = (x --- y) *** (x --- y);
+          diff = diff +++ rotate(diff, 2);
+          diff = diff +++ rotate(diff, 1);
+          return diff;
+        """,
+        inputs_src="secret int x = {1,1,0,1}; secret int y = {1,0,1,1};",
+        output_src="hd = diff;",
+        factory=factory)
+    out = prog.run()
+    assert out["hd"][0] == 2
+
+
+def test_jitted_loop_unrolls_into_circuit(factory):
+    prog = jit_compile_program(
+        program_src="""
+          for (int i = 0; i < 3; i = i + 1) {
+            acc = acc +++ acc;
+          }
+          return acc;
+        """,
+        inputs_src="secret int acc = {2};",
+        output_src="y = acc;",
+        factory=factory)
+    assert prog.run()["y"][0] == 16  # 2 doubled three times
+
+
+def test_jitted_mixed_plain_secret(factory):
+    prog = jit_compile_program(
+        program_src="""
+          int w = 10;
+          secret int z = x *** w +++ 5;
+          return z;
+        """,
+        inputs_src="secret int x = {1, 2, 3};",
+        output_src="y = z;",
+        factory=factory)
+    assert prog.run()["y"][:3] == [15, 25, 35]
+
+
+def test_jitted_matches_eager(factory):
+    src = dict(
+        program_src="secret int p = a *** b; p = rotate(p, 1);",
+        inputs_src="secret int a = {3, 1, 4, 1}; secret int b = {2, 7, 1, 8};",
+        output_src="y = p;")
+    prog = jit_compile_program(factory=factory, **src)
+    jit_out = prog.run()["y"][:3]
+
+    from helpers import run_program
+    rv, pairs = run_program(src["inputs_src"], src["program_src"],
+                            src["output_src"], factory)
+    eager_out = factory.decrypt(pairs[0][1])[:3]
+    assert jit_out == eager_out == [7, 4, 8]
+
+
+def test_rerun_without_retrace(factory):
+    prog = jit_compile_program(
+        program_src="secret int s = x +++ x;",
+        inputs_src="secret int x = {5};",
+        output_src="y = s;",
+        factory=factory)
+    assert prog.run()["y"][0] == 10
+    # fresh ciphertext, same shapes → reuses the compiled executable
+    ct2 = factory.create_ciphertext([21])
+    raw = prog.run_raw({"x": ct2.ct.data})
+    from abc_tpu.crypto.bfv import BfvCiphertext
+    dec = factory.context.decode(factory.context.decrypt(
+        BfvCiphertext(np.asarray(raw["y"]))))
+    assert dec[0] == 42
