@@ -27,6 +27,7 @@ class CompileOptions:
     loop_unrolling: bool = True
     vectorize: bool = False        # batching pass (off by default, like the
                                    # reference's WIP Vectorizer)
+    cone_rewriting: bool = False   # multiplicative-depth reduction
     max_unroll_iterations: int = 65536
 
 
@@ -74,6 +75,11 @@ class Compiler:
         if opts.vectorize:
             from abc_tpu.passes.vectorizer import run_vectorizer
             ast = run_vectorizer(ast, input_types, tcv)
+            tcv = run_type_checking(ast, input_types)
+
+        if opts.cone_rewriting:
+            from abc_tpu.passes.cone_rewriter import run_cone_rewriting
+            run_cone_rewriting(ast)
             tcv = run_type_checking(ast, input_types)
 
         return CompiledProgram(ast=ast, tcv=tcv, input_types=dict(input_types))
