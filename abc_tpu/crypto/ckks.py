@@ -1,0 +1,495 @@
+"""RNS-CKKS scheme: approximate arithmetic over real/complex slot vectors.
+
+The reference plans CKKS but never built it (compile-time define
+HAVE_SEAL_CKKS in CMakeLists.txt:216 and an empty README section
+"CKKS Scheme-Specific Optimizations", README.md:105-107). This module is the
+TPU-native implementation: leveled RNS ciphertexts [2, l, n] uint32, NTT
+tensor products, hybrid (special-prime) key switching shared with the BFV
+construction, and EXACT RNS rescaling (drop the last data prime via centered
+division — no floats on the hot path).
+
+Encoding uses the canonical embedding via FFT with the same slot→evaluation
+ordering as the BFV batch encoder (exponents ±3^i mod 2n), so Galois slot
+rotations are the SAME automorphism machinery (x → x^(3^k)).
+
+Scale management is standard CKKS: scale multiplies under ct·ct multiply and
+divides by the dropped prime at rescale; decode uses the tracked scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from abc_tpu.crypto.ntt import NttContext, bit_reverse
+from abc_tpu.crypto.numthy import centered, gen_ntt_primes, modinv
+from abc_tpu.ops.modarith import barrett_mu
+from abc_tpu.utils.errors import RuntimeExecutionError
+
+
+@dataclass
+class CkksParams:
+    n: int
+    coeff_modulus: List[int]          # data primes + special prime (last)
+    scale: float = float(1 << 25)
+    engine: str = "np64"
+    seed: Optional[int] = None
+    error_std: float = 3.2
+
+    @property
+    def data_primes(self) -> List[int]:
+        return self.coeff_modulus[:-1]
+
+    @property
+    def special_prime(self) -> int:
+        return self.coeff_modulus[-1]
+
+    @property
+    def L(self) -> int:
+        return len(self.coeff_modulus) - 1
+
+    @property
+    def slot_count(self) -> int:
+        return self.n // 2
+
+    @staticmethod
+    def create(n: int, levels: int = 3, engine: str = "np64",
+               seed: Optional[int] = None, scale_bits: int = 25) -> "CkksParams":
+        primes = gen_ntt_primes(30, levels + 1, n)
+        return CkksParams(n=n, coeff_modulus=primes, scale=float(1 << scale_bits),
+                          engine=engine, seed=seed)
+
+
+@dataclass
+class CkksCiphertext:
+    data: object            # [k, level, n] uint32, coefficient domain
+    level: int              # number of active data limbs
+    scale: float
+
+    @property
+    def size(self) -> int:
+        return self.data.shape[0]
+
+
+@dataclass
+class CkksPlaintext:
+    coeffs_rns: np.ndarray  # [level, n] residues of round(scale·m)
+    level: int
+    scale: float
+
+
+class CkksContext:
+    """Keys + tables for one CKKS parameter set."""
+
+    def __init__(self, params: CkksParams):
+        self.params = params
+        n, moduli = params.n, params.coeff_modulus
+        assert len({q.bit_length() for q in moduli}) == 1
+        self._on_device = params.engine == "jx32"
+
+        self.hqp = NttContext(n, moduli, engine="np64")
+        self.ntt_qp = NttContext(n, moduli, engine=params.engine) \
+            if self._on_device else self.hqp
+        self.engine = self.ntt_qp.engine
+
+        L, P = params.L, params.special_prime
+        qs = params.data_primes
+        host: Dict[str, np.ndarray] = {}
+        host["q_full"] = np.asarray(moduli, dtype=np.uint32).reshape(-1, 1)
+        host["mu_full"] = np.asarray([barrett_mu(q) for q in moduli],
+                                     dtype=np.uint32).reshape(-1, 1)
+        host["P_mod_q"] = np.asarray([P % q for q in qs],
+                                     dtype=np.uint32).reshape(-1, 1)
+        host["P_inv_mod_q"] = np.asarray([modinv(P, q) for q in qs],
+                                         dtype=np.uint32).reshape(-1, 1)
+        # rescale tables: dropping prime q_l needs [q_l]_qj and q_l^{-1} mod qj
+        drop_mod = np.zeros((L, L, 1), dtype=np.uint32)
+        drop_inv = np.zeros((L, L, 1), dtype=np.uint32)
+        for l in range(L):           # dropping limb l
+            for j in range(L):
+                if j != l:
+                    drop_mod[l, j, 0] = qs[l] % qs[j]
+                    drop_inv[l, j, 0] = modinv(qs[l], qs[j])
+        host["drop_mod"] = drop_mod
+        host["drop_inv"] = drop_inv
+        self._host = host
+        self.P_half = P >> 1
+
+        # hybrid key-switch factors at every level: P·ω_i^{(l)} mod q_j where
+        # ω is the CRT basis of the level-l modulus q^{(l)} = q_0···q_{l-1}
+        self._ks_factors_by_level: Dict[int, np.ndarray] = {}
+        for level in range(1, L + 1):
+            q_big = 1
+            for q in qs[:level]:
+                q_big *= q
+            fac = np.zeros((level, level + 1, 1), dtype=np.uint32)
+            cols = qs[:level] + [P]
+            for i, qi in enumerate(qs[:level]):
+                qhat = q_big // qi
+                omega = qhat * modinv(qhat % qi, qi)
+                for j, qj in enumerate(cols):
+                    fac[i, j, 0] = (P * omega) % qj
+            self._ks_factors_by_level[level] = fac
+
+        if self._on_device:
+            import jax.numpy as jnp
+            self._dev = jnp.asarray
+            self._tab = {k: jnp.asarray(v) for k, v in host.items()}
+        else:
+            self._dev = lambda x: x
+            self._tab = host
+
+        # slot map shares the BFV layout machinery: slot i ↔ exponent 3^i
+        logn = n.bit_length() - 1
+        m = 2 * n
+        self._slot_exponents = np.empty(n // 2, dtype=np.int64)
+        g = 1
+        for i in range(n // 2):
+            self._slot_exponents[i] = g
+            g = g * 3 % m
+
+        self.rng = np.random.default_rng(params.seed)
+        self._keygen()
+        self.relin_key: Optional[Tuple] = None
+        self.galois_keys: Dict[int, Tuple] = {}
+        self._perm_cache: Dict[int, Tuple] = {}
+
+    # ------------------------------------------------------------------ sampling
+    def _sample_ternary(self) -> np.ndarray:
+        return self.rng.integers(-1, 2, size=self.params.n).astype(np.int64)
+
+    def _sample_error(self) -> np.ndarray:
+        e = np.rint(self.rng.normal(0.0, self.params.error_std, self.params.n))
+        return np.clip(e, -19, 19).astype(np.int64)
+
+    def _lift_signed(self, coeffs, limb_indices: Sequence[int]) -> np.ndarray:
+        moduli = [self.params.coeff_modulus[i] for i in limb_indices]
+        out = np.empty((len(moduli), self.params.n), dtype=np.uint32)
+        for j, qj in enumerate(moduli):
+            out[j] = np.mod(coeffs, qj).astype(np.uint32)
+        return out
+
+    def _uniform_rns(self, limb_indices: Sequence[int]) -> np.ndarray:
+        cols = []
+        for i in limb_indices:
+            qj = self.params.coeff_modulus[i]
+            cols.append(self.rng.integers(0, qj, size=self.params.n,
+                                          dtype=np.uint64).astype(np.uint32))
+        return np.stack(cols)
+
+    def _keygen(self) -> None:
+        L = self.params.L
+        full = list(range(L + 1))
+        self.s_coeffs = self._sample_ternary()
+        self.s_ntt_full = self.hqp.fwd(self._lift_signed(self.s_coeffs, full))
+        a_ntt = self._uniform_rns(list(range(L)))
+        hq = self.hqp.subset(list(range(L)))
+        e_ntt = hq.fwd(self._lift_signed(self._sample_error(), list(range(L))))
+        as_ntt = hq.pointwise_mul(a_ntt, self.s_ntt_full[:L])
+        self.pk_b_ntt = hq.sub(hq.neg(as_ntt), e_ntt)
+        self.pk_a_ntt = a_ntt
+        self._hq = hq
+
+    # ------------------------------------------------------------------ keys
+    def _make_ksk(self, s2_ntt_full: np.ndarray) -> Tuple:
+        """Full-level switching key [L, L+1, n]; leveled use slices rows and
+        limb columns. Host numpy (trace-safe)."""
+        h = self.hqp
+        L, n = self.params.L, self.params.n
+        ksk_b = np.empty((L, L + 1, n), dtype=np.uint32)
+        ksk_a = np.empty((L, L + 1, n), dtype=np.uint32)
+        fac_full = self._ks_factors_by_level[L]   # [L, L+1, 1]
+        for i in range(L):
+            a_i = self._uniform_rns(list(range(L + 1)))
+            e_i = h.fwd(self._lift_signed(self._sample_error(), list(range(L + 1))))
+            term = h.engine.mul(s2_ntt_full, fac_full[i], h.q, h.mu)
+            ksk_b[i] = h.add(h.sub(h.neg(h.pointwise_mul(a_i, self.s_ntt_full)),
+                                   e_i), term)
+            ksk_a[i] = a_i
+        return ksk_b, ksk_a
+
+    def get_relin_key(self) -> Tuple:
+        if self.relin_key is None:
+            s2 = self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
+            self.relin_key = self._make_ksk(s2)
+        return self.relin_key
+
+    def get_galois_key(self, g: int) -> Tuple:
+        if g not in self.galois_keys:
+            gather, sign = self._galois_perm_host(g)
+            L = self.params.L
+            s_lift = self._lift_signed(self.s_coeffs, list(range(L + 1)))
+            out = s_lift[..., gather]
+            qv = np.asarray(self.hqp.q)
+            neg = np.where(out == 0, 0, qv - out.astype(np.uint64)).astype(np.uint32)
+            s_tau = np.where(sign, out, neg)
+            self.galois_keys[g] = self._make_ksk(self.hqp.fwd(s_tau))
+        return self.galois_keys[g]
+
+    def _galois_perm_host(self, g: int):
+        n = self.params.n
+        m = 2 * n
+        gather = np.empty(n, dtype=np.int64)
+        sign_pos = np.empty(n, dtype=bool)
+        for j in range(n):
+            jg = j * g % m
+            if jg < n:
+                gather[jg], sign_pos[jg] = j, True
+            else:
+                gather[jg - n], sign_pos[jg - n] = j, False
+        return gather, sign_pos
+
+    def _galois_perm(self, g: int):
+        if g not in self._perm_cache:
+            self._perm_cache[g] = self._galois_perm_host(g)
+        return self._perm_cache[g]
+
+    # ------------------------------------------------------------------ encoding
+    def encode(self, values: Sequence[complex], level: Optional[int] = None,
+               scale: Optional[float] = None) -> CkksPlaintext:
+        """Canonical-embedding encode of ≤ n/2 complex (or real) values."""
+        n = self.params.n
+        level = level if level is not None else self.params.L
+        scale = scale if scale is not None else self.params.scale
+        half = n // 2
+        if len(values) > half:
+            raise RuntimeExecutionError(f"too many values: {len(values)} > {half}")
+        z = np.zeros(half, dtype=np.complex128)
+        z[:len(values)] = np.asarray(values, dtype=np.complex128)
+        # full evaluation vector over exponents 2k+1: A[(e-1)/2] = value
+        A = np.zeros(n, dtype=np.complex128)
+        for i in range(half):
+            e = self._slot_exponents[i]
+            A[(e - 1) // 2] = z[i]
+            A[(2 * n - e - 1) // 2] = np.conj(z[i])
+        # A = n·ifft(m ⊙ ψ⁺)  ⇒  m = (fft(A)/n) ⊙ ψ⁻,  ψ± = e^{±iπj/n}
+        psi = np.exp(-1j * np.pi * np.arange(n) / n)
+        m = np.fft.fft(A) / n * psi
+        m_real = np.real(m) * scale
+        coeffs = np.rint(m_real).astype(object)
+        return CkksPlaintext(self._lift_signed(coeffs, list(range(level))),
+                             level, scale)
+
+    def decode(self, pt: CkksPlaintext) -> np.ndarray:
+        """Decode to n/2 complex values (host, exact CRT + float)."""
+        n = self.params.n
+        half = n // 2
+        qs = self.params.data_primes[:pt.level]
+        q_big = 1
+        for q in qs:
+            q_big *= q
+        acc = np.zeros(n, dtype=object)
+        for l, ql in enumerate(qs):
+            qhat = q_big // ql
+            c = qhat * modinv(qhat % ql, ql)
+            acc = (acc + pt.coeffs_rns[l].astype(object) * c) % q_big
+        m = np.array([centered(int(v), q_big) for v in acc], dtype=np.float64)
+        m /= pt.scale
+        psi_plus = np.exp(1j * np.pi * np.arange(n) / n)
+        A = np.fft.ifft(m * psi_plus) * n
+        z = np.empty(half, dtype=np.complex128)
+        for i in range(half):
+            e = self._slot_exponents[i]
+            z[i] = A[(e - 1) // 2]
+        return z
+
+    # ------------------------------------------------------------------ encrypt
+    def encrypt(self, pt: CkksPlaintext) -> CkksCiphertext:
+        L = self.params.L
+        if pt.level != L:
+            raise RuntimeExecutionError("encrypt expects a full-level plaintext")
+        hq = self._hq
+        u_ntt = hq.fwd(self._lift_signed(self._sample_ternary(), list(range(L))))
+        e0 = self._lift_signed(self._sample_error(), list(range(L)))
+        e1 = self._lift_signed(self._sample_error(), list(range(L)))
+        c0 = hq.engine.add(hq.inv(hq.pointwise_mul(self.pk_b_ntt, u_ntt)), e0, hq.q)
+        c1 = hq.engine.add(hq.inv(hq.pointwise_mul(self.pk_a_ntt, u_ntt)), e1, hq.q)
+        c0 = hq.engine.add(c0, pt.coeffs_rns, hq.q)
+        return CkksCiphertext(self._dev(np.stack([c0, c1])), L, pt.scale)
+
+    def decrypt(self, ct: CkksCiphertext) -> CkksPlaintext:
+        idx = list(range(ct.level))
+        h = self.hqp.subset(idx)
+        data = np.asarray(ct.data).astype(np.uint32)
+        v_ntt = h.fwd(data[0])
+        s_pow = None
+        for k in range(1, ct.size):
+            s_pow = self.s_ntt_full[idx] if s_pow is None else \
+                h.pointwise_mul(s_pow, self.s_ntt_full[idx])
+            v_ntt = h.add(v_ntt, h.pointwise_mul(h.fwd(data[k]), s_pow))
+        return CkksPlaintext(h.inv(v_ntt), ct.level, ct.scale)
+
+    # ------------------------------------------------------------- homomorphic ops
+    def _ntt_at(self, level: int) -> NttContext:
+        return self.ntt_qp.subset(list(range(level)))
+
+    def _tabs_at(self, level: int):
+        q = self._tab["q_full"][:level]
+        mu = self._tab["mu_full"][:level]
+        return q, mu
+
+    def add(self, a: CkksCiphertext, b: CkksCiphertext) -> CkksCiphertext:
+        a, b = self._align(a, b)
+        q, _ = self._tabs_at(a.level)
+        return CkksCiphertext(self.engine.add(a.data, b.data, q), a.level, a.scale)
+
+    def sub(self, a: CkksCiphertext, b: CkksCiphertext) -> CkksCiphertext:
+        a, b = self._align(a, b)
+        q, _ = self._tabs_at(a.level)
+        return CkksCiphertext(self.engine.sub(a.data, b.data, q), a.level, a.scale)
+
+    def _align(self, a: CkksCiphertext, b: CkksCiphertext,
+               match_scale: bool = True):
+        if a.level != b.level:
+            target = min(a.level, b.level)
+            a = self.mod_drop_to(a, target)
+            b = self.mod_drop_to(b, target)
+        if match_scale and abs(a.scale - b.scale) > 0.5:
+            raise RuntimeExecutionError(
+                f"scale mismatch: {a.scale} vs {b.scale}; rescale first")
+        return a, b
+
+    def mod_drop_to(self, ct: CkksCiphertext, level: int) -> CkksCiphertext:
+        """Drop limbs WITHOUT scaling (modulus reduction, exact)."""
+        if level == ct.level:
+            return ct
+        if level > ct.level:
+            raise RuntimeExecutionError("cannot raise a ciphertext's level")
+        return CkksCiphertext(ct.data[:, :level], level, ct.scale)
+
+    def multiply(self, a: CkksCiphertext, b: CkksCiphertext,
+                 relinearize: bool = True, rescale: bool = True) -> CkksCiphertext:
+        # multiplication composes scales; only levels need aligning
+        a, b = self._align(a, b, match_scale=False)
+        level = a.level
+        ntt = self._ntt_at(level)
+        q, mu = self._tabs_at(level)
+        fa, fb = ntt.fwd(a.data), ntt.fwd(b.data)
+        e = self.engine
+        d0 = e.mul(fa[0], fb[0], q, mu)
+        d1 = e.add(e.mul(fa[0], fb[1], q, mu), e.mul(fa[1], fb[0], q, mu), q)
+        d2 = e.mul(fa[1], fb[1], q, mu)
+        data = ntt.inv(_stack([d0, d1, d2]))
+        ct = CkksCiphertext(data, level, a.scale * b.scale)
+        if relinearize:
+            ct = self.relinearize(ct)
+        if rescale:
+            ct = self.rescale(ct)
+        return ct
+
+    def relinearize(self, ct: CkksCiphertext) -> CkksCiphertext:
+        if ct.size == 2:
+            return ct
+        k0, k1 = self._key_switch(ct.data[2], self.get_relin_key(), ct.level)
+        q, _ = self._tabs_at(ct.level)
+        xp = _xp(ct.data)
+        c0 = self.engine.add(ct.data[0], k0, q)
+        c1 = self.engine.add(ct.data[1], k1, q)
+        return CkksCiphertext(xp.stack([c0, c1]), ct.level, ct.scale)
+
+    def rescale(self, ct: CkksCiphertext) -> CkksCiphertext:
+        """Exact RNS rescale: drop the last data limb and divide by its prime
+        (centered), scale /= q_dropped."""
+        level = ct.level
+        if level <= 1:
+            raise RuntimeExecutionError("no level left to rescale into")
+        drop = level - 1
+        q_drop = self.params.data_primes[drop]
+        xp = _xp(ct.data)
+        q, mu = self._tabs_at(drop)
+        x_q = ct.data[:, :drop]                    # [k, drop, n]
+        x_l = ct.data[:, drop]                     # [k, n]
+        x_l_red = xp.where(x_l[:, None, :] >= q, x_l[:, None, :] - q,
+                           x_l[:, None, :])
+        over = x_l[:, None, :] > _u32(xp, q_drop >> 1)
+        drop_mod = self._tab["drop_mod"][drop][:drop]
+        drop_inv = self._tab["drop_inv"][drop][:drop]
+        corr = xp.where(over, self.engine.sub(x_l_red, drop_mod, q), x_l_red)
+        diff = self.engine.sub(x_q, corr, q)
+        out = self.engine.mul(diff, drop_inv, q, mu)
+        return CkksCiphertext(out, drop, ct.scale / q_drop)
+
+    # ------------------------------------------------------------- key switching
+    def _key_switch(self, d, ksk, level: int) -> Tuple:
+        """Hybrid key switch at `level`: rows i < level, limbs
+        {0..level-1} ∪ {P}."""
+        L, n = self.params.L, self.params.n
+        ksk_b_full, ksk_a_full = ksk
+        cols = list(range(level)) + [L]
+        cols_idx = np.asarray(cols, dtype=np.int64)
+        ksk_b = ksk_b_full[:level][:, cols_idx]
+        ksk_a = ksk_a_full[:level][:, cols_idx]
+        ntt = self.ntt_qp.subset(cols)
+        xp = _xp(d)
+        q_cols = self._tab["q_full"][cols_idx].reshape(1, level + 1, 1)
+        mu_cols = self._tab["mu_full"][cols_idx].reshape(1, level + 1, 1)
+        lifted = xp.broadcast_to(d[:, None, :], (level, level + 1, n))
+        lifted = xp.where(lifted >= q_cols, lifted - q_cols, lifted)
+        D = ntt.fwd(lifted)
+        tb = self.engine.mul(D, ksk_b, q_cols, mu_cols)
+        ta = self.engine.mul(D, ksk_a, q_cols, mu_cols)
+        acc_b = _acc_mod(tb, self._tab["q_full"][cols_idx], self.engine)
+        acc_a = _acc_mod(ta, self._tab["q_full"][cols_idx], self.engine)
+        acc_b = ntt.inv(acc_b)
+        acc_a = ntt.inv(acc_a)
+        return (self._mod_switch_down(acc_b, level),
+                self._mod_switch_down(acc_a, level))
+
+    def _mod_switch_down(self, x, level: int):
+        """[level+1, n] over q^(level)∪P → [level, n]: divide by P."""
+        xp = _xp(x)
+        q, mu = self._tabs_at(level)
+        x_q, x_P = x[:level], x[level]
+        x_P_red = xp.where(x_P >= q, x_P - q, x_P)
+        over = x_P > _u32(xp, self.P_half)
+        corr = xp.where(over, self.engine.sub(x_P_red, self._tab["P_mod_q"][:level], q),
+                        x_P_red)
+        diff = self.engine.sub(x_q, corr, q)
+        return self.engine.mul(diff, self._tab["P_inv_mod_q"][:level], q, mu)
+
+    # ------------------------------------------------------------------ rotations
+    def rotate(self, ct: CkksCiphertext, steps: int) -> CkksCiphertext:
+        """Rotate the n/2 complex slots by `steps` (positive = left)."""
+        n = self.params.n
+        steps = steps % (n // 2)
+        if steps == 0:
+            return ct
+        g = pow(3, steps, 2 * n)
+        gather, sign_pos = self._galois_perm(g)
+        xp = _xp(ct.data)
+        q, _ = self._tabs_at(ct.level)
+        out = ct.data[..., gather]
+        out = xp.where(xp.asarray(sign_pos) if hasattr(xp, "asarray") else sign_pos,
+                       out, self.engine.neg(out, q))
+        k0, k1 = self._key_switch(out[1], self.get_galois_key(g), ct.level)
+        c0 = self.engine.add(out[0], k0, q)
+        return CkksCiphertext(xp.stack([c0, k1]), ct.level, ct.scale)
+
+
+# --------------------------------------------------------------------- helpers
+
+def _xp(arr):
+    if isinstance(arr, np.ndarray):
+        return np
+    import jax.numpy as jnp
+    return jnp
+
+
+def _u32(xp, v: int):
+    return xp.uint32(v)
+
+
+def _stack(parts):
+    return _xp(parts[0]).stack(parts)
+
+
+def _acc_mod(terms, q, engine):
+    if isinstance(terms, np.ndarray):
+        s = terms.astype(np.uint64).sum(axis=0)
+        return (s % np.asarray(q).astype(np.uint64)).astype(np.uint32)
+    acc = terms[0]
+    for k in range(1, terms.shape[0]):
+        acc = engine.add(acc, terms[k], q)
+    return acc

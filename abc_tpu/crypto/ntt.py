@@ -90,6 +90,28 @@ class NttContext:
             self.inv = jax.jit(self.inv)
             self.negacyclic_mul = jax.jit(self.negacyclic_mul)
 
+    def subset(self, indices) -> "NttContext":
+        """A view of this context restricted to the given limb rows (no
+        recomputation) — used for CKKS leveled operations where dropped
+        primes leave the chain."""
+        view = object.__new__(NttContext)
+        view.n = self.n
+        view.logn = self.logn
+        view.moduli = [self.moduli[i] for i in indices]
+        view.engine_name = self.engine_name
+        view.engine = self.engine
+        view.psi = [self.psi[i] for i in indices]
+        idx = np.asarray(list(indices), dtype=np.int64)
+        for name in ("q", "mu", "fwd_tw", "fwd_tw_sh", "inv_tw",
+                     "inv_tw_sh", "n_inv", "n_inv_sh"):
+            setattr(view, name, getattr(self, name)[idx])
+        if self.engine_name == "jx32":
+            import jax
+            view.fwd = jax.jit(NttContext.fwd.__get__(view))
+            view.inv = jax.jit(NttContext.inv.__get__(view))
+            view.negacyclic_mul = jax.jit(NttContext.negacyclic_mul.__get__(view))
+        return view
+
     # --- transforms -----------------------------------------------------------
     def fwd(self, a):
         """Forward negacyclic NTT along the last axis ([..., L, n])."""

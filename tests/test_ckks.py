@@ -1,0 +1,119 @@
+"""CKKS scheme tests: canonical-embedding encode/decode, approximate
+homomorphic ops, leveled rescaling, rotations, cross-engine bit-exactness.
+
+The reference only planned CKKS (HAVE_SEAL_CKKS define, CMakeLists.txt:216,
+empty README section); tests are authored for the new implementation.
+"""
+
+import numpy as np
+import pytest
+
+from abc_tpu.crypto.ckks import CkksContext, CkksParams
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return CkksContext(CkksParams.create(256, levels=3, seed=1))
+
+
+def dec(ctx, ct, k=4):
+    return np.real(ctx.decode(ctx.decrypt(ct))[:k])
+
+
+def test_encode_decode_roundtrip(ctx):
+    vals = [1.5, -2.25, 3.0, 0.5]
+    z = ctx.decode(ctx.encode(vals))
+    np.testing.assert_allclose(np.real(z[:4]), vals, atol=1e-6)
+    assert abs(np.imag(z)).max() < 1e-9
+
+
+def test_encode_decode_complex(ctx):
+    vals = [1 + 2j, -0.5 - 1j]
+    z = ctx.decode(ctx.encode(vals))
+    np.testing.assert_allclose(z[:2], vals, atol=1e-6)
+
+
+def test_encrypt_decrypt_approximate(ctx):
+    vals = [3.14159, -2.71828, 0.0, 100.5]
+    got = dec(ctx, ctx.encrypt(ctx.encode(vals)))
+    np.testing.assert_allclose(got, vals, atol=1e-3)
+
+
+def test_add_sub(ctx):
+    a = ctx.encrypt(ctx.encode([1.0, 2.0, 3.0]))
+    b = ctx.encrypt(ctx.encode([0.5, -0.5, 10.0]))
+    np.testing.assert_allclose(dec(ctx, ctx.add(a, b), 3), [1.5, 1.5, 13.0],
+                               atol=1e-3)
+    np.testing.assert_allclose(dec(ctx, ctx.sub(a, b), 3), [0.5, 2.5, -7.0],
+                               atol=1e-3)
+
+
+def test_multiply_with_relin_and_rescale(ctx):
+    a = ctx.encrypt(ctx.encode([1.0, 2.0, 3.0, 4.0]))
+    b = ctx.encrypt(ctx.encode([0.5, 0.25, 2.0, -1.0]))
+    p = ctx.multiply(a, b)
+    assert p.level == ctx.params.L - 1          # one level consumed
+    assert p.size == 2                          # relinearized
+    np.testing.assert_allclose(dec(ctx, p), [0.5, 0.5, 6.0, -4.0], rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_multiply_depth_two(ctx):
+    a = ctx.encrypt(ctx.encode([2.0, -1.5]))
+    b = ctx.encrypt(ctx.encode([3.0, 2.0]))
+    c = ctx.encrypt(ctx.encode([0.5, 4.0]))
+    p = ctx.multiply(ctx.multiply(a, b), c)     # auto level alignment
+    assert p.level == ctx.params.L - 2
+    np.testing.assert_allclose(dec(ctx, p, 2), [3.0, -12.0], rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_rescale_tracks_scale(ctx):
+    a = ctx.encrypt(ctx.encode([1.0]))
+    b = ctx.encrypt(ctx.encode([1.0]))
+    p = ctx.multiply(a, b, rescale=False)
+    assert p.scale == pytest.approx(ctx.params.scale ** 2)
+    r = ctx.rescale(p)
+    q_dropped = ctx.params.data_primes[p.level - 1]
+    assert r.scale == pytest.approx(ctx.params.scale ** 2 / q_dropped)
+    assert r.level == p.level - 1
+
+
+def test_rotation(ctx):
+    a = ctx.encrypt(ctx.encode([1.0, 2.0, 3.0, 4.0]))
+    np.testing.assert_allclose(dec(ctx, ctx.rotate(a, 1), 3), [2.0, 3.0, 4.0],
+                               atol=1e-3)
+    # negative rotation wraps the other way within the n/2 slots
+    half = ctx.params.n // 2
+    r = ctx.rotate(a, -1)
+    z = np.real(ctx.decode(ctx.decrypt(r)))
+    np.testing.assert_allclose(z[1:5], [1.0, 2.0, 3.0, 4.0], atol=1e-3)
+
+
+def test_rotation_after_multiply(ctx):
+    a = ctx.encrypt(ctx.encode([1.0, 2.0, 3.0, 4.0]))
+    p = ctx.multiply(a, a)                      # squares, level drops
+    r = ctx.rotate(p, 2)                        # leveled galois key switch
+    np.testing.assert_allclose(dec(ctx, r, 2), [9.0, 16.0], rtol=1e-3, atol=1e-3)
+
+
+def test_mod_drop_alignment(ctx):
+    a = ctx.encrypt(ctx.encode([5.0]))
+    b = ctx.encrypt(ctx.encode([7.0]))
+    p = ctx.multiply(a, b)                      # level L-1
+    s = ctx.add(p, ctx.multiply(a, b))          # both aligned at L-1
+    np.testing.assert_allclose(dec(ctx, s, 1), [70.0], rtol=1e-3)
+
+
+def test_jx32_engine_bit_exact():
+    c_np = CkksContext(CkksParams.create(256, levels=3, seed=7, engine="np64"))
+    c_jx = CkksContext(CkksParams.create(256, levels=3, seed=7, engine="jx32"))
+    vals_a, vals_b = [1.0, -2.0, 0.25], [3.0, 0.5, -4.0]
+    a_np = c_np.encrypt(c_np.encode(vals_a))
+    b_np = c_np.encrypt(c_np.encode(vals_b))
+    a_jx = c_jx.encrypt(c_jx.encode(vals_a))
+    b_jx = c_jx.encrypt(c_jx.encode(vals_b))
+    np.testing.assert_array_equal(np.asarray(a_jx.data), a_np.data)
+    r_np = c_np.rotate(c_np.multiply(a_np, b_np), 1)
+    r_jx = c_jx.rotate(c_jx.multiply(a_jx, b_jx), 1)
+    np.testing.assert_array_equal(np.asarray(r_jx.data), r_np.data)
