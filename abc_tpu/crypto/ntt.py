@@ -89,6 +89,25 @@ class NttContext:
             self.fwd = jax.jit(self.fwd)
             self.inv = jax.jit(self.inv)
             self.negacyclic_mul = jax.jit(self.negacyclic_mul)
+        elif engine == "np64":
+            self._attach_native()
+
+    def _attach_native(self) -> None:
+        """Swap in the C++ engine (native/modpoly.cpp) for host transforms —
+        bit-identical, ~10x faster than the NumPy stage loop. Disable with
+        ABC_TPU_NO_NATIVE=1."""
+        import os
+        if os.environ.get("ABC_TPU_NO_NATIVE"):
+            return
+        try:
+            from abc_tpu.ops.native import NativeNtt
+            native = NativeNtt(self)
+        except Exception:
+            return  # no compiler available: keep the NumPy path
+        self._native = native
+        self.fwd = native.fwd
+        self.inv = native.inv
+        self.pointwise_mul = native.pointwise_mul
 
     def subset(self, indices) -> "NttContext":
         """A view of this context restricted to the given limb rows (no
@@ -110,6 +129,8 @@ class NttContext:
             view.fwd = jax.jit(NttContext.fwd.__get__(view))
             view.inv = jax.jit(NttContext.inv.__get__(view))
             view.negacyclic_mul = jax.jit(NttContext.negacyclic_mul.__get__(view))
+        elif self.engine_name == "np64":
+            view._attach_native()
         return view
 
     # --- transforms -----------------------------------------------------------
