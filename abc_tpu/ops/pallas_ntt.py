@@ -1,23 +1,34 @@
-"""Fused Pallas TPU kernels for the negacyclic NTT.
+"""Fused Pallas TPU kernels for the negacyclic NTT — roll-based butterflies.
 
 Why: the jnp stage-loop NTT materializes every butterfly stage to HBM —
 measured ~2-6 GB/s effective on v5e (28 round trips of the [L, n] array per
-transform). These kernels load each limb's row into VMEM once, run all
-log2(n) butterfly stages on-chip, and write back once: HBM traffic drops
-from 2·log2(n)·L·n·4 bytes to 2·L·n·4 bytes per transform.
+transform). These kernels hold each limb's row in VMEM as an [R, 128] tile
+(R = n/128) across all log2(n) stages: one HBM read + one write for the data.
 
-Grid: one program per (batch·limb) row. Per-limb tables (twiddles + Shoup
-companions, [n] each ≈ 64 KB at n=16384) and the row itself (~64 KB) fit
-comfortably in the ~16 MB VMEM.
+Mosaic-friendly structure: a butterfly stage with stride t is expressed as
+two circular ROLLS (sublane rolls for t ≥ 128, lane rolls for t < 128) plus
+elementwise selects — no value reshapes or transposes (Mosaic's layout
+inference rejects those for small tiles):
 
-The butterfly math matches ops/modarith.jx32 exactly (same Shoup multiply,
-same lazy bounds), so outputs are bit-identical to the jnp path — asserted
-by tests/test_pallas_ntt.py in interpret mode on CPU and compiled on TPU.
+    u' = u + w·x[p+t]          (u positions: (j mod 2t) < t)
+    v' = x[p−t] − w·x[p]       (v positions)
+
+Twiddle bandwidth engineering (the actual bottleneck once fused):
+  * stage multiplies use MONTGOMERY form (w·2^32 mod q) — one table instead
+    of Shoup's value+companion pair → half the table traffic;
+  * the log2(R) sublane-phase stages (t ≥ 128) have lane-constant twiddles,
+    so they pack into ONE [R, 128] plane (stage per column, broadcast across
+    lanes in-kernel) instead of a full plane per stage;
+  * only the 7 lane-phase stages (t < 128) need full [R, 128] planes.
+
+Montgomery REDC yields exactly a·w mod q, so outputs stay bit-identical to
+the jnp/np64 paths (asserted in interpret mode on CPU and compiled on TPU).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -26,6 +37,77 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+LANE = 128
+LANE_STAGES = 7  # log2(LANE): stages with stride < 128
+
+
+# --------------------------------------------------------------------------
+# host-side table preparation
+# --------------------------------------------------------------------------
+
+def _to_mont(table: np.ndarray, moduli) -> np.ndarray:
+    """w → w·2^32 mod q per limb row (exact, host bigints)."""
+    out = np.empty_like(table)
+    for l, q in enumerate(moduli):
+        out[l] = ((table[l].astype(object) << 32) % q).astype(np.uint32)
+    return out
+
+
+def build_tables(n: int, table: np.ndarray, moduli) -> Tuple[np.ndarray, np.ndarray]:
+    """(packed sublane-phase plane [L, R, 128], lane-phase planes
+    [L, 7, R, 128]) of MONTGOMERY-form twiddles.
+
+    table: [L, n] twiddles in psi^bitrev layout (NttContext convention:
+    the stage with m blocks uses entries table[m + block_index])."""
+    mont = _to_mont(table, moduli)
+    L = mont.shape[0]
+    logn = n.bit_length() - 1
+    R = n // LANE
+    s1 = logn - LANE_STAGES                       # sublane-phase stage count
+    packed = np.zeros((L, R, LANE), dtype=np.uint32)
+    for s in range(s1):
+        m = 1 << s
+        t = n // (2 * m)
+        r = np.arange(R)
+        packed[:, :, s] = mont[:, m + r // (2 * t // LANE)]
+    planes = np.empty((L, LANE_STAGES, R, LANE), dtype=np.uint32)
+    j = np.arange(n)
+    for k in range(LANE_STAGES):
+        s = s1 + k
+        m = 1 << s
+        t = n // (2 * m)
+        planes[:, k] = mont[:, m + j // (2 * t)].reshape(L, R, LANE)
+    return packed, planes
+
+
+_TABLE_CACHE: Dict[int, Tuple] = {}
+
+
+def get_tables(ctx) -> Tuple:
+    """Cached Montgomery twiddle tables + scalars for an NttContext.
+
+    Returns (fwd_packed, fwd_planes, inv_packed, inv_planes,
+             qinv_neg [L,1], ninv_mont [L,1])."""
+    key = id(ctx)
+    if key not in _TABLE_CACHE:
+        n = ctx.n
+        moduli = ctx.moduli
+        fp, fl = build_tables(n, np.asarray(ctx.fwd_tw), moduli)
+        ip, il = build_tables(n, np.asarray(ctx.inv_tw), moduli)
+        qinv_neg = np.asarray([(-pow(q, -1, 1 << 32)) % (1 << 32)
+                               for q in moduli], dtype=np.uint64
+                              ).astype(np.uint32).reshape(-1, 1)
+        ninv = np.asarray(ctx.n_inv).reshape(-1)
+        ninv_mont = np.asarray(
+            [(int(v) << 32) % q for v, q in zip(ninv, moduli)],
+            dtype=np.uint64).astype(np.uint32).reshape(-1, 1)
+        _TABLE_CACHE[key] = (fp, fl, ip, il, qinv_neg, ninv_mont)
+    return _TABLE_CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# kernel math
+# --------------------------------------------------------------------------
 
 def _umulhi(a, b):
     mask = jnp.uint32(0xFFFF)
@@ -36,9 +118,13 @@ def _umulhi(a, b):
     return a1 * b1 + (t >> 16) + (t2 >> 16)
 
 
-def _mul_shoup(a, w, w_shoup, q):
-    hi = _umulhi(a, w_shoup)
-    r = a * w - hi * q
+def _mul_mont(a, wm, q, qinv_neg):
+    """Montgomery product a·(w·2^32)·2^−32 = a·w mod q, result < q."""
+    t_lo = a * wm
+    t_hi = _umulhi(a, wm)
+    m = t_lo * qinv_neg
+    r = t_hi + _umulhi(m, q) + jnp.where(t_lo != 0, jnp.uint32(1),
+                                         jnp.uint32(0))
     return jnp.where(r >= q, r - q, r)
 
 
@@ -51,99 +137,142 @@ def _sub_mod(a, b, q):
     return jnp.where(a >= b, a - b, a + q - b)
 
 
-def _fwd_kernel(n: int, q_ref, x_ref, tw_ref, twsh_ref, out_ref):
-    q = q_ref[pl.program_id(0), 0]
-    x = x_ref[0].reshape(n)            # [n/128, 128] block → flat row in VMEM
-    tw = tw_ref[0].reshape(n)
-    twsh = twsh_ref[0].reshape(n)
-    m = 1
-    while m < n:
-        t = n // (2 * m)
-        xv = x.reshape(m, 2 * t)
-        u = xv[:, :t]
-        v = xv[:, t:]
-        w = tw[m:2 * m].reshape(m, 1)
-        wsh = twsh[m:2 * m].reshape(m, 1)
-        vw = _mul_shoup(v, w, wsh, q)
-        x = jnp.concatenate([_add_mod(u, vw, q), _sub_mod(u, vw, q)],
-                            axis=1).reshape(n)
-        m *= 2
-    out_ref[0] = x.reshape(n // 128, 128)
+def _roll(x, shift: int, t: int):
+    """Partner gather (pltpu.roll: rolled[p] = x[(p − shift) mod N]; only
+    non-negative shifts, so −s ≡ N − s)."""
+    if t >= LANE:
+        size = x.shape[0]
+        return pltpu.roll(x, (shift * (t // LANE)) % size, axis=0)
+    return pltpu.roll(x, (shift * t) % LANE, axis=1)
 
 
-def _inv_kernel(n: int, q_ref, x_ref, itw_ref, itwsh_ref, ninv_ref,
-                ninvsh_ref, out_ref):
+def _is_u_mask(n: int, t: int):
+    """[R, 128] bool: (j mod 2t) < t for j = r·128 + c."""
+    R = n // LANE
+    if t >= LANE:
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
+        return (r_ids % (2 * t // LANE)) < (t // LANE)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    return (c_ids % (2 * t)) < t
+
+
+def _stage_tw(n, s, packed, planes):
+    """Montgomery twiddle plane for stage s (broadcast from the packed
+    column for sublane-phase stages)."""
+    logn = n.bit_length() - 1
+    s1 = logn - LANE_STAGES
+    if s < s1:
+        col = packed[:, s:s + 1]                   # [R, 1]
+        return jnp.broadcast_to(col, (n // LANE, LANE))
+    return planes[s - s1]
+
+
+def _fwd_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
+                out_ref):
     i = pl.program_id(0)
     q = q_ref[i, 0]
-    x = x_ref[0].reshape(n)
-    itw = itw_ref[0].reshape(n)
-    itwsh = itwsh_ref[0].reshape(n)
-    m = n // 2
-    while m >= 1:
-        t = n // (2 * m)
-        xv = x.reshape(m, 2 * t)
-        u = xv[:, :t]
-        v = xv[:, t:]
-        w = itw[m:2 * m].reshape(m, 1)
-        wsh = itwsh[m:2 * m].reshape(m, 1)
-        s = _add_mod(u, v, q)
-        d = _mul_shoup(_sub_mod(u, v, q), w, wsh, q)
-        x = jnp.concatenate([s, d], axis=1).reshape(n)
-        m //= 2
-    out_ref[0] = _mul_shoup(x, ninv_ref[i, 0], ninvsh_ref[i, 0],
-                            q).reshape(n // 128, 128)
+    qinv_neg = qinv_ref[i, 0]
+    x = x_ref[0]
+    packed = packed_ref[0]
+    logn = n.bit_length() - 1
+    for s in range(logn):
+        t = n // (2 << s)
+        wm = _stage_tw(n, s, packed, planes_ref[0])
+        is_u = _is_u_mask(n, t)
+        hi = _roll(x, -1, t)
+        lo = _roll(x, 1, t)
+        wv = _mul_mont(jnp.where(is_u, hi, x), wm, q, qinv_neg)
+        x = jnp.where(is_u, _add_mod(x, wv, q), _sub_mod(lo, wv, q))
+    out_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def pallas_fwd_ntt(a, q, tw, twsh, *, n: int, interpret: bool = False):
-    """Forward negacyclic NTT of [..., L, n] (rows transform independently)."""
+def _inv_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
+                ninv_ref, out_ref):
+    i = pl.program_id(0)
+    q = q_ref[i, 0]
+    qinv_neg = qinv_ref[i, 0]
+    x = x_ref[0]
+    packed = packed_ref[0]
+    logn = n.bit_length() - 1
+    for s in range(logn - 1, -1, -1):
+        t = n // (2 << s)
+        wm = _stage_tw(n, s, packed, planes_ref[0])
+        is_u = _is_u_mask(n, t)
+        hi = _roll(x, -1, t)
+        lo = _roll(x, 1, t)
+        u_new = _add_mod(x, hi, q)
+        v_new = _mul_mont(_sub_mod(lo, x, q), wm, q, qinv_neg)
+        x = jnp.where(is_u, u_new, v_new)
+    ninv_m = jnp.broadcast_to(ninv_ref[i, 0], x.shape)
+    out_ref[0] = _mul_mont(x, ninv_m, q, qinv_neg)
+
+
+# --------------------------------------------------------------------------
+# callable wrappers
+# --------------------------------------------------------------------------
+
+def _prep_rows(a, q, n):
     batch_shape = a.shape[:-1]
     rows = int(np.prod(batch_shape)) if batch_shape else 1
     L = q.shape[0]
     reps = rows // L
-    sub = n // 128
-    a2 = a.reshape(rows, sub, 128)
-    tw_rows = (jnp.tile(tw, (reps, 1)) if reps > 1 else tw).reshape(rows, sub, 128)
-    twsh_rows = (jnp.tile(twsh, (reps, 1)) if reps > 1 else twsh).reshape(rows, sub, 128)
+    sub = n // LANE
+    a3 = a.reshape(rows, sub, LANE)
     q_rows = (jnp.tile(q.reshape(L, 1), (reps, 1)) if reps > 1
               else q.reshape(L, 1))
-    blk = lambda: pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)
+    return rows, reps, sub, a3, q_rows
+
+
+def _tile(arr, reps):
+    arr = jnp.asarray(arr)
+    if reps <= 1:
+        return arr
+    return jnp.tile(arr, (reps,) + (1,) * (arr.ndim - 1))
+
+
+def _blk(shape_tail):
+    nd = len(shape_tail)
+    return pl.BlockSpec((1,) + shape_tail,
+                        (lambda i: (i,) + (0,) * nd),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def pallas_fwd_ntt(a, q, qinv_neg, packed, planes, *, n: int,
+                   interpret: bool = False):
+    """Forward negacyclic NTT of [..., L, n]; tables from get_tables()."""
+    rows, reps, sub, a3, q_rows = _prep_rows(a, q, n)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, n),
         grid=(rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk(), blk(), blk()],
-        out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((rows, sub, 128), jnp.uint32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  _blk((sub, LANE)), _blk((sub, LANE)),
+                  _blk((LANE_STAGES, sub, LANE))],
+        out_specs=_blk((sub, LANE)),
+        out_shape=jax.ShapeDtypeStruct((rows, sub, LANE), jnp.uint32),
         interpret=interpret,
-    )(q_rows, a2, tw_rows, twsh_rows)
+    )(q_rows, _tile(qinv_neg, reps), a3, _tile(packed, reps),
+      _tile(planes, reps))
     return out.reshape(a.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def pallas_inv_ntt(a, q, itw, itwsh, ninv, ninvsh, *, n: int,
+def pallas_inv_ntt(a, q, qinv_neg, packed, planes, ninv_mont, *, n: int,
                    interpret: bool = False):
     """Inverse negacyclic NTT of [..., L, n]."""
-    batch_shape = a.shape[:-1]
-    rows = int(np.prod(batch_shape)) if batch_shape else 1
-    L = q.shape[0]
-    reps = rows // L
-    sub = n // 128
-    a2 = a.reshape(rows, sub, 128)
-    tile = (lambda arr: jnp.tile(arr, (reps, 1))) if reps > 1 else (lambda arr: arr)
-    blk = lambda: pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)
+    rows, reps, sub, a3, q_rows = _prep_rows(a, q, n)
     out = pl.pallas_call(
         functools.partial(_inv_kernel, n),
         grid=(rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk(), blk(), blk(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                  _blk((sub, LANE)), _blk((sub, LANE)),
+                  _blk((LANE_STAGES, sub, LANE)),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((rows, sub, 128), jnp.uint32),
+        out_specs=_blk((sub, LANE)),
+        out_shape=jax.ShapeDtypeStruct((rows, sub, LANE), jnp.uint32),
         interpret=interpret,
-    )(jnp.tile(q.reshape(L, 1), (reps, 1)) if reps > 1 else q.reshape(L, 1),
-      a2, tile(itw).reshape(rows, sub, 128), tile(itwsh).reshape(rows, sub, 128),
-      jnp.tile(ninv, (reps, 1)) if reps > 1 else ninv,
-      jnp.tile(ninvsh, (reps, 1)) if reps > 1 else ninvsh)
+    )(q_rows, _tile(qinv_neg, reps), a3, _tile(packed, reps),
+      _tile(planes, reps), _tile(ninv_mont, reps))
     return out.reshape(a.shape)

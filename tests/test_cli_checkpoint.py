@@ -1,0 +1,82 @@
+"""CLI (ast_demo equivalent) + checkpoint/resume tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from abc_tpu.cli import run_benchmark
+from abc_tpu.utils.checkpoint import (
+    load_circuit, load_ciphertext, load_context, save_circuit,
+    save_ciphertext, save_context,
+)
+
+
+def test_cli_cardio_csv(tmp_path):
+    out = tmp_path / "cardio.csv"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "abc_tpu", "cardio", str(out)],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), env=env)
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text().strip().splitlines()
+    # the reference CSV schema, examples/main.cpp:41-42 — but MEASURED
+    assert lines[0] == "t_keygen,t_input_encryption,t_computation,t_decryption"
+    values = [float(v) for v in lines[1].split(",")]
+    assert len(values) == 4 and all(v >= 0 for v in values)
+    assert "riskScore: [5]" in r.stderr
+
+
+def test_run_benchmark_hamming_bfv():
+    result = run_benchmark("hamming", backend="bfv", slots=1024)
+    outputs = result.pop("_outputs")
+    assert outputs["sum"][0] == 2
+    assert result["t_computation"] > 0
+
+
+def test_run_benchmark_boxblur_dummy():
+    result = run_benchmark("boxblur", backend="dummy")
+    assert "_outputs" in result
+
+
+# --- checkpoint -----------------------------------------------------------------
+
+def test_circuit_roundtrip(tmp_path):
+    from abc_tpu.parser import Parser
+    from abc_tpu.passes.pipeline import compile_program, input_types_from_ast
+
+    inputs = Parser.parse("secret int x = {1,2,3};")
+    compiled = compile_program("x = x *** x; return x;",
+                               input_types_from_ast(inputs))
+    p = tmp_path / "circuit.json"
+    save_circuit(compiled, str(p))
+    restored = load_circuit(str(p))
+    assert str(restored.ast) == str(compiled.ast)
+    assert restored.input_types["x"].secret
+
+
+def test_context_and_ciphertext_roundtrip(tmp_path):
+    from abc_tpu.crypto.bfv import BfvContext
+    from abc_tpu.crypto.params import BfvParams
+
+    ctx = BfvContext(BfvParams.create(1024, seed=11))
+    ctx.get_relin_key()
+    ctx.get_galois_key(3)
+    ct = ctx.encrypt(ctx.encode([4, 5, 6]))
+
+    ctx_path = tmp_path / "ctx.npz"
+    ct_path = tmp_path / "ct.npy"
+    save_context(ctx, str(ctx_path))
+    save_ciphertext(ct, str(ct_path))
+
+    ctx2 = load_context(str(ctx_path))
+    ct2 = load_ciphertext(str(ct_path))
+    # restored context decrypts the restored ciphertext
+    assert ctx2.decode(ctx2.decrypt(ct2))[:3] == [4, 5, 6]
+    # restored keys still work: multiply + rotate, decrypted by the original
+    prod = ctx2.multiply(ct2, ct2)
+    rot = ctx2.rotate_rows(prod, 1)
+    assert ctx.decode(ctx.decrypt(rot))[:2] == [25, 36]
