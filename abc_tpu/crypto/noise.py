@@ -1,0 +1,150 @@
+"""Noise estimation + automatic parameter selection.
+
+SURVEY.md §7 hard part #6: the reference delegates modulus sizing entirely to
+SEAL's defaults (CoeffModulus::BFVDefault) and gives the user no way to know
+whether a circuit will decrypt. Here we own it:
+
+  * analyze_circuit — walks a compiled program and extracts the noise-relevant
+    shape: secret multiplicative depth, plaintext-multiply count on the
+    deepest path, rotation count;
+  * estimate_noise_bits — a conservative per-op bit-growth model calibrated
+    against measured invariant-noise budgets (each BFV ct·ct or ct·plain
+    multiply costs ≈ log2(2·t·n) bits; rotations/adds cost ~1 bit);
+  * choose_parameters — smallest (n, limb-count) whose budget
+    q_bits − noise − margin > 0, preferring presets that satisfy the
+    HE-standard modulus cap.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+from abc_tpu.ast_ir.nodes import (
+    Assignment, BinaryExpression, Block, Call, OperatorExpression, Return,
+    UnaryExpression, Variable, VariableDeclaration,
+)
+from abc_tpu.crypto.params import BfvParams, _DEFAULT_CHAIN
+from abc_tpu.utils.errors import CompilerError
+from abc_tpu.utils.operators import Op
+
+
+@dataclass
+class CircuitStats:
+    mult_depth: int = 0          # ct·ct multiplies on the deepest secret path
+    plain_mult_depth: int = 0    # ct·plain multiplies on the deepest path
+    rotations: int = 0
+    secret_ops: int = 0
+
+
+def analyze_circuit(compiled) -> CircuitStats:
+    """Depth analysis over a compiled program using its taint map."""
+    tainted = compiled.secret_tainted
+    stats = CircuitStats()
+    # variable → (ct_depth, plain_depth) of its current value
+    depth: Dict[str, Tuple[int, int]] = {}
+    for name, dt in compiled.input_types.items():
+        depth[name] = (0, 0)
+
+    def is_secret(node) -> bool:
+        return tainted.get(node.unique_node_id, False)
+
+    def expr_depth(node) -> Tuple[int, int]:
+        if isinstance(node, Variable):
+            return depth.get(node.identifier, (0, 0))
+        if isinstance(node, Call) and node.identifier == "rotate":
+            if is_secret(node):
+                stats.rotations += 1
+            return expr_depth(node.arguments[0])
+        if isinstance(node, BinaryExpression):
+            lc, lp = expr_depth(node.left)
+            rc, rp = expr_depth(node.right)
+            c, p = max(lc, rc), max(lp, rp)
+            op = node.operator.as_plain().op
+            if op == Op.MUL and is_secret(node):
+                stats.secret_ops += 1
+                if is_secret(node.left) and is_secret(node.right):
+                    return c + 1, p
+                return c, p + 1
+            if is_secret(node):
+                stats.secret_ops += 1
+            return c, p
+        if isinstance(node, OperatorExpression):
+            ds = [expr_depth(o) for o in node.operands if o is not None]
+            c = max((d[0] for d in ds), default=0)
+            p = max((d[1] for d in ds), default=0)
+            if node.operator.as_plain().op == Op.MUL and is_secret(node):
+                k = len(node.operands)
+                return c + max(1, math.ceil(math.log2(max(k, 2)))), p
+            return c, p
+        if isinstance(node, UnaryExpression):
+            return expr_depth(node.operand)
+        ds = [expr_depth(c) for c in node.children()]
+        return (max((d[0] for d in ds), default=0),
+                max((d[1] for d in ds), default=0))
+
+    def walk(stmt) -> None:
+        if isinstance(stmt, Block):
+            for s in stmt.children():
+                walk(s)
+        elif isinstance(stmt, (Assignment, VariableDeclaration)):
+            value = stmt.value
+            if value is None:
+                return
+            d = expr_depth(value)
+            target = stmt.target
+            if isinstance(target, Variable):
+                depth[target.identifier] = d
+            stats.mult_depth = max(stats.mult_depth, d[0])
+            stats.plain_mult_depth = max(stats.plain_mult_depth, d[1])
+        elif isinstance(stmt, Return) and stmt.value is not None:
+            d = expr_depth(stmt.value)
+            stats.mult_depth = max(stats.mult_depth, d[0])
+            stats.plain_mult_depth = max(stats.plain_mult_depth, d[1])
+        else:
+            for c in stmt.children():
+                walk(c) if isinstance(c, Block) else None
+    walk(compiled.ast)
+    return stats
+
+
+def estimate_noise_bits(stats: CircuitStats, n: int, t_bits: int) -> int:
+    """Conservative invariant-noise estimate (bits consumed from the budget).
+
+    Calibration (measured on this implementation, tests/test_noise.py):
+    fresh encryption ≈ log2(B·√(2n)) + t_bits consumed against log2(q);
+    each multiply (ct·ct or ct·plain) ≈ t_bits + log2(n) + 2;
+    each rotation/key-switch ≈ 2 bits; adds ≈ 1 bit amortized.
+    """
+    logn = n.bit_length() - 1
+    fresh = 6 + (logn + 1) // 2 + 1                 # error·expansion
+    per_mult = t_bits + logn + 2
+    mults = stats.mult_depth + stats.plain_mult_depth
+    return fresh + mults * per_mult + 2 * min(stats.rotations, 8) \
+        + max(0, stats.secret_ops.bit_length() - 1)
+
+
+def choose_parameters(compiled, t_bits: int = 20, engine: str = "np64",
+                      seed: Optional[int] = None,
+                      security_strict: bool = False) -> BfvParams:
+    """Pick the smallest preset that decrypts the circuit with margin.
+
+    security_strict=True skips the dev-grade presets (n ≤ 4096 exceed the
+    128-bit modulus budget, crypto/params.py note).
+    """
+    stats = analyze_circuit(compiled)
+    margin = 10
+    for n in sorted(_DEFAULT_CHAIN):
+        if security_strict and n <= 4096:
+            continue
+        data_limbs = len(_DEFAULT_CHAIN[n][0])
+        q_bits = 30 * data_limbs
+        need = estimate_noise_bits(stats, n, t_bits) + t_bits + margin
+        if q_bits >= need:
+            return BfvParams.create(n, engine=engine, plain_bits=t_bits,
+                                    seed=seed)
+    raise CompilerError(
+        f"no parameter preset large enough: circuit needs ~"
+        f"{estimate_noise_bits(stats, 32768, t_bits) + t_bits + margin} bits "
+        f"(depth {stats.mult_depth}+{stats.plain_mult_depth})")
