@@ -1,0 +1,71 @@
+"""Pallas NTT kernels (ops/pallas_ntt.py) — interpret-mode bit-exactness.
+
+The compiled path is validated on real TPU hardware by bench.py / the perf
+harness; these tests run the same kernel logic through the Pallas
+interpreter on CPU and assert bit-identical results against the jnp
+stage-loop engine (NttContext) that the rest of the suite already trusts.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from abc_tpu.crypto.ntt import NttContext  # noqa: E402
+from abc_tpu.crypto.numthy import gen_ntt_primes  # noqa: E402
+from abc_tpu.ops import pallas_ntt as pn  # noqa: E402
+
+
+def _ctx(n, L=2):
+    moduli = gen_ntt_primes(30, L, n)
+    return NttContext(n, moduli, engine="jx32"), moduli
+
+
+def _rand(moduli, n, batch=(), seed=0):
+    L = len(moduli)
+    rng = np.random.default_rng(seed)
+    hi = np.asarray(moduli, dtype=np.uint64).reshape(L, 1)
+    return rng.integers(0, hi, size=batch + (L, n),
+                        dtype=np.uint64).astype(np.uint32)
+
+
+@pytest.mark.parametrize("n", [256, 2048])
+def test_fwd_matches_stage_loop(n):
+    ctx, moduli = _ctx(n)
+    a = _rand(moduli, n)
+    fp, fl, ip, il, qinv, ninv_m = pn.get_tables(ctx)
+    q = jnp.asarray(np.asarray(moduli, dtype=np.uint32))
+    got = pn.pallas_fwd_ntt(jnp.asarray(a), q, jnp.asarray(qinv),
+                            jnp.asarray(fp), jnp.asarray(fl), n=n,
+                            interpret=True)
+    want = ctx.fwd(jnp.asarray(a))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("n", [256, 2048])
+def test_inv_roundtrip(n):
+    ctx, moduli = _ctx(n)
+    a = _rand(moduli, n, seed=1)
+    fp, fl, ip, il, qinv, ninv_m = pn.get_tables(ctx)
+    q = jnp.asarray(np.asarray(moduli, dtype=np.uint32))
+    f = pn.pallas_fwd_ntt(jnp.asarray(a), q, jnp.asarray(qinv),
+                          jnp.asarray(fp), jnp.asarray(fl), n=n,
+                          interpret=True)
+    back = pn.pallas_inv_ntt(f, q, jnp.asarray(qinv), jnp.asarray(ip),
+                             jnp.asarray(il), jnp.asarray(ninv_m), n=n,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), a)
+
+
+def test_batched_rows():
+    n = 256
+    ctx, moduli = _ctx(n, L=3)
+    a = _rand(moduli, n, batch=(2, 2), seed=2)
+    fp, fl, ip, il, qinv, ninv_m = pn.get_tables(ctx)
+    q = jnp.asarray(np.asarray(moduli, dtype=np.uint32))
+    got = pn.pallas_fwd_ntt(jnp.asarray(a), q, jnp.asarray(qinv),
+                            jnp.asarray(fp), jnp.asarray(fl), n=n,
+                            interpret=True)
+    want = ctx.fwd(jnp.asarray(a))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
