@@ -88,9 +88,33 @@ class NttContext:
             # jit the transforms: one compile per input shape, then fast
             self.fwd = jax.jit(self.fwd)
             self.inv = jax.jit(self.inv)
+            self._attach_pallas()
             self.negacyclic_mul = jax.jit(self.negacyclic_mul)
         elif engine == "np64":
             self._attach_native()
+
+    def _attach_pallas(self) -> None:
+        """On the TPU backend, swap in the fused Pallas butterfly kernels
+        (ops/pallas_ntt.py): all log2(n) stages run in VMEM, one HBM
+        read+write per transform vs 2·log2(n) for the jnp stage loop.
+        Bit-identical outputs (Montgomery REDC is exact). Disable with
+        ABC_TPU_NO_PALLAS=1."""
+        import os
+        if os.environ.get("ABC_TPU_NO_PALLAS"):
+            return
+        if self.n < 2048:          # tiles too small to be profitable
+            return
+        try:
+            import jax
+            if jax.default_backend() != "tpu":
+                return
+            from abc_tpu.ops.pallas_ntt import NttKernels
+            kern = NttKernels(self)
+        except Exception:
+            return  # any pallas setup failure: keep the jnp stage loop
+        self._pallas = kern
+        self.fwd = kern.fwd
+        self.inv = kern.inv
 
     def _attach_native(self) -> None:
         """Swap in the C++ engine (native/modpoly.cpp) for host transforms —
@@ -128,6 +152,7 @@ class NttContext:
             import jax
             view.fwd = jax.jit(NttContext.fwd.__get__(view))
             view.inv = jax.jit(NttContext.inv.__get__(view))
+            view._attach_pallas()
             view.negacyclic_mul = jax.jit(NttContext.negacyclic_mul.__get__(view))
         elif self.engine_name == "np64":
             view._attach_native()

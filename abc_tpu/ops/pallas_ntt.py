@@ -172,7 +172,7 @@ def _fwd_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
     i = pl.program_id(0)
     q = q_ref[i, 0]
     qinv_neg = qinv_ref[i, 0]
-    x = x_ref[0]
+    x = x_ref[0, 0]
     packed = packed_ref[0]
     logn = n.bit_length() - 1
     for s in range(logn):
@@ -183,7 +183,7 @@ def _fwd_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
         lo = _roll(x, 1, t)
         wv = _mul_mont(jnp.where(is_u, hi, x), wm, q, qinv_neg)
         x = jnp.where(is_u, _add_mod(x, wv, q), _sub_mod(lo, wv, q))
-    out_ref[0] = x
+    out_ref[0, 0] = x
 
 
 def _inv_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
@@ -191,7 +191,7 @@ def _inv_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
     i = pl.program_id(0)
     q = q_ref[i, 0]
     qinv_neg = qinv_ref[i, 0]
-    x = x_ref[0]
+    x = x_ref[0, 0]
     packed = packed_ref[0]
     logn = n.bit_length() - 1
     for s in range(logn - 1, -1, -1):
@@ -204,36 +204,37 @@ def _inv_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
         v_new = _mul_mont(_sub_mod(lo, x, q), wm, q, qinv_neg)
         x = jnp.where(is_u, u_new, v_new)
     ninv_m = jnp.broadcast_to(ninv_ref[i, 0], x.shape)
-    out_ref[0] = _mul_mont(x, ninv_m, q, qinv_neg)
+    out_ref[0, 0] = _mul_mont(x, ninv_m, q, qinv_neg)
 
 
 # --------------------------------------------------------------------------
 # callable wrappers
 # --------------------------------------------------------------------------
+#
+# Grid layout: (L, B) with the LIMB axis OUTER, so each limb's twiddle
+# tables load into VMEM once and stay resident while the inner batch axis
+# sweeps over it (Pallas skips re-fetch when the index map is unchanged).
+# No table tiling → table HBM traffic is O(L·n), independent of batch.
 
-def _prep_rows(a, q, n):
-    batch_shape = a.shape[:-1]
-    rows = int(np.prod(batch_shape)) if batch_shape else 1
-    L = q.shape[0]
-    reps = rows // L
+def _prep(a, q, n):
+    batch_shape = a.shape[:-2]
+    L = a.shape[-2]
+    assert q.shape[0] == L, "limb axis must match the moduli table"
+    B = int(np.prod(batch_shape)) if batch_shape else 1
     sub = n // LANE
-    a3 = a.reshape(rows, sub, LANE)
-    q_rows = (jnp.tile(q.reshape(L, 1), (reps, 1)) if reps > 1
-              else q.reshape(L, 1))
-    return rows, reps, sub, a3, q_rows
+    a4 = a.reshape(B, L, sub, LANE)
+    return B, L, sub, a4, q.reshape(L, 1)
 
 
-def _tile(arr, reps):
-    arr = jnp.asarray(arr)
-    if reps <= 1:
-        return arr
-    return jnp.tile(arr, (reps,) + (1,) * (arr.ndim - 1))
+def _xblk(sub):
+    return pl.BlockSpec((1, 1, sub, LANE), (lambda l, b: (b, l, 0, 0)),
+                        memory_space=pltpu.VMEM)
 
 
-def _blk(shape_tail):
+def _tblk(shape_tail):
     nd = len(shape_tail)
     return pl.BlockSpec((1,) + shape_tail,
-                        (lambda i: (i,) + (0,) * nd),
+                        (lambda l, b: (l,) + (0,) * nd),
                         memory_space=pltpu.VMEM)
 
 
@@ -241,19 +242,18 @@ def _blk(shape_tail):
 def pallas_fwd_ntt(a, q, qinv_neg, packed, planes, *, n: int,
                    interpret: bool = False):
     """Forward negacyclic NTT of [..., L, n]; tables from get_tables()."""
-    rows, reps, sub, a3, q_rows = _prep_rows(a, q, n)
+    B, L, sub, a4, q2 = _prep(a, q, n)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, n),
-        grid=(rows,),
+        grid=(L, B),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _blk((sub, LANE)), _blk((sub, LANE)),
-                  _blk((LANE_STAGES, sub, LANE))],
-        out_specs=_blk((sub, LANE)),
-        out_shape=jax.ShapeDtypeStruct((rows, sub, LANE), jnp.uint32),
+                  _xblk(sub), _tblk((sub, LANE)),
+                  _tblk((LANE_STAGES, sub, LANE))],
+        out_specs=_xblk(sub),
+        out_shape=jax.ShapeDtypeStruct((B, L, sub, LANE), jnp.uint32),
         interpret=interpret,
-    )(q_rows, _tile(qinv_neg, reps), a3, _tile(packed, reps),
-      _tile(planes, reps))
+    )(q2, jnp.asarray(qinv_neg).reshape(L, 1), a4, packed, planes)
     return out.reshape(a.shape)
 
 
@@ -261,18 +261,44 @@ def pallas_fwd_ntt(a, q, qinv_neg, packed, planes, *, n: int,
 def pallas_inv_ntt(a, q, qinv_neg, packed, planes, ninv_mont, *, n: int,
                    interpret: bool = False):
     """Inverse negacyclic NTT of [..., L, n]."""
-    rows, reps, sub, a3, q_rows = _prep_rows(a, q, n)
+    B, L, sub, a4, q2 = _prep(a, q, n)
     out = pl.pallas_call(
         functools.partial(_inv_kernel, n),
-        grid=(rows,),
+        grid=(L, B),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _blk((sub, LANE)), _blk((sub, LANE)),
-                  _blk((LANE_STAGES, sub, LANE)),
+                  _xblk(sub), _tblk((sub, LANE)),
+                  _tblk((LANE_STAGES, sub, LANE)),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=_blk((sub, LANE)),
-        out_shape=jax.ShapeDtypeStruct((rows, sub, LANE), jnp.uint32),
+        out_specs=_xblk(sub),
+        out_shape=jax.ShapeDtypeStruct((B, L, sub, LANE), jnp.uint32),
         interpret=interpret,
-    )(q_rows, _tile(qinv_neg, reps), a3, _tile(packed, reps),
-      _tile(planes, reps), _tile(ninv_mont, reps))
+    )(q2, jnp.asarray(qinv_neg).reshape(L, 1), a4, packed, planes,
+      jnp.asarray(ninv_mont).reshape(L, 1))
     return out.reshape(a.shape)
+
+
+class NttKernels:
+    """Bound Pallas transforms for one NttContext (tables cached on device).
+
+    Drop-in replacements for NttContext.fwd/.inv with identical outputs
+    (Montgomery REDC is exact). Attached by NttContext._attach_pallas on
+    the TPU backend.
+    """
+
+    def __init__(self, ctx):
+        fp, fl, ip, il, qinv, ninv_m = get_tables(ctx)
+        self.n = ctx.n
+        self.q = jnp.asarray(np.asarray(ctx.q, dtype=np.uint32).reshape(-1))
+        self.qinv = jnp.asarray(qinv)
+        self.fp, self.fl = jnp.asarray(fp), jnp.asarray(fl)
+        self.ip, self.il = jnp.asarray(ip), jnp.asarray(il)
+        self.ninv_m = jnp.asarray(ninv_m)
+
+    def fwd(self, a):
+        return pallas_fwd_ntt(a, self.q, self.qinv, self.fp, self.fl,
+                              n=self.n)
+
+    def inv(self, a):
+        return pallas_inv_ntt(a, self.q, self.qinv, self.ip, self.il,
+                              self.ninv_m, n=self.n)

@@ -13,7 +13,12 @@ Robustness: the TPU tunnel in this environment can wedge; the device run
 happens in a SUBPROCESS with a hard timeout, falling back to a measured CPU
 number (clearly labeled) rather than hanging the driver.
 
-Reference measured on this rig (TPU v5e, jit path): 115.33 ops/s = 2.88×.
+Measured on this rig (TPU v5e, Pallas fused-NTT path, 512-op chain):
+≈ 2780 ops/s = 0.36 ms per sequential mult+relin = ~70× the SEAL CPU
+baseline. The chain is DEPENDENT ops (out feeds the next multiply) run
+under lax.fori_loop, so this measures per-op latency at depth, not batch
+parallelism; the long chain only amortizes the axon tunnel's 25-45 ms
+per-dispatch RPC cost, which is a rig artifact.
 """
 
 from __future__ import annotations
@@ -26,8 +31,9 @@ import time
 
 SEAL_CPU_BASELINE_OPS_PER_S = 40.0
 N = 8192
-CHAIN = 4          # mult+relin ops chained per jitted call
-REPEATS = 5        # timed calls
+CHAIN = 512        # mult+relin ops chained per jitted call (TPU)
+CHAIN_CPU = 8      # the jx32-on-CPU fallback is ~100x slower per op
+REPEATS = 3        # timed calls
 TPU_TIMEOUT_S = 1500   # first-time jit compile on TPU can take minutes
 
 _WORKER = r"""
@@ -40,31 +46,32 @@ from abc_tpu.crypto.behz import BehzContext
 from abc_tpu.crypto.bfv import BfvCiphertext, BfvContext
 from abc_tpu.crypto.params import BfvParams
 
-N, CHAIN, REPEATS = %d, %d, %d
+N, REPEATS = %d, %d
 backend = jax.default_backend()
+CHAIN = %d if backend == "tpu" else %d
 ctx = BfvContext(BfvParams.create(N, engine="jx32", seed=123))
 ctx.get_relin_key()
 
 a = ctx.encrypt(ctx.encode([1, 2, 3, 4]))
 b = ctx.encrypt(ctx.encode([5, 6, 7, 8]))
 
-def step(ct_a, ct_b):
-    out = ct_a
-    for _ in range(CHAIN):
-        out = ctx.multiply(BfvCiphertext(out), BfvCiphertext(ct_b)).data
-    return out
+def mult(x, y):
+    return ctx.multiply(BfvCiphertext(x), BfvCiphertext(y)).data
 
-jitted = jax.jit(step)
+@jax.jit
+def chain(x, y):
+    return jax.lax.fori_loop(0, CHAIN, lambda i, v: mult(v, y), x)
+
 arg_a = jnp.asarray(np.asarray(a.data))
 arg_b = jnp.asarray(np.asarray(b.data))
-jax.block_until_ready(jitted(arg_a, arg_b))
+jax.block_until_ready(chain(arg_a, arg_b))
 times = []
 for _ in range(REPEATS):
     t0 = time.perf_counter()
-    jax.block_until_ready(jitted(arg_a, arg_b))
+    jax.block_until_ready(chain(arg_a, arg_b))
     times.append(time.perf_counter() - t0)
 print(json.dumps({"backend": backend, "ops_per_s": CHAIN / min(times)}))
-""" % (N, CHAIN, REPEATS)
+""" % (N, REPEATS, CHAIN, CHAIN_CPU)
 
 
 def _run_worker(mode: str, timeout: float):
