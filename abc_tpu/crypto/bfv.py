@@ -383,6 +383,21 @@ class BfvContext:
         k0 + k1·s ≈ d·s2 (both coeff domain)."""
         L, full, n = self.params.L, self.params.L + 1, self.params.n
         ksk_b, ksk_a = ksk
+        # cache the device copies of the (host-numpy, trace-safe) key: large
+        # numpy constants referenced inside a jit trace are re-staged per
+        # trace and were measured to slow the compiled loop on v5e
+        ck = id(ksk_b)
+        cache = getattr(self, "_ksk_dev_cache", None)
+        if cache is None:
+            cache = self._ksk_dev_cache = {}
+        if ck in cache:
+            ksk_b, ksk_a = cache[ck]
+        else:
+            dev_b, dev_a = self._dev(ksk_b), self._dev(ksk_a)
+            from abc_tpu.utils.tracing import trace_state_clean
+            if trace_state_clean():        # in-trace values are tracers
+                cache[ck] = (dev_b, dev_a)
+            ksk_b, ksk_a = dev_b, dev_a
         xp = _xp(d)
         q_full = self._tab["q_full"].reshape(1, full, 1)
         mu_full = self._tab["mu_full"].reshape(1, full, 1)

@@ -156,6 +156,15 @@ class CkksContext:
         self.galois_keys: Dict[int, Tuple] = {}
         self._perm_cache: Dict[int, Tuple] = {}
 
+        # Precompute every leveled NTT-context view EAGERLY (outside any jit
+        # trace): _key_switch/_ntt_at request these inside traces, where
+        # fresh device tables would be per-trace constants that XLA leaves
+        # inside loop bodies (~3.4 ms/call runtime hit measured on v5e).
+        if self._on_device:
+            for level in range(1, L + 1):
+                self.ntt_qp.subset(list(range(level)))
+                self.ntt_qp.subset(list(range(level)) + [L])
+
     # ------------------------------------------------------------------ sampling
     def _sample_ternary(self) -> np.ndarray:
         return self.rng.integers(-1, 2, size=self.params.n).astype(np.int64)
@@ -419,8 +428,21 @@ class CkksContext:
         ksk_b_full, ksk_a_full = ksk
         cols = list(range(level)) + [L]
         cols_idx = np.asarray(cols, dtype=np.int64)
-        ksk_b = ksk_b_full[:level][:, cols_idx]
-        ksk_a = ksk_a_full[:level][:, cols_idx]
+        # cache the per-level device slices of the switching key: numpy
+        # slicing inside a jit trace re-creates the ~10 MB constants on
+        # every trace and measurably slows the compiled loop body
+        ck = (id(ksk_b_full), level)
+        cache = getattr(self, "_ksk_dev_cache", None)
+        if cache is None:
+            cache = self._ksk_dev_cache = {}
+        if ck in cache:
+            ksk_b, ksk_a = cache[ck]
+        else:
+            ksk_b = self._dev(ksk_b_full[:level][:, cols_idx])
+            ksk_a = self._dev(ksk_a_full[:level][:, cols_idx])
+            from abc_tpu.utils.tracing import trace_state_clean
+            if trace_state_clean():        # in-trace values are tracers
+                cache[ck] = (ksk_b, ksk_a)
         ntt = self.ntt_qp.subset(cols)
         xp = _xp(d)
         q_cols = self._tab["q_full"][cols_idx].reshape(1, level + 1, 1)

@@ -136,7 +136,22 @@ class NttContext:
     def subset(self, indices) -> "NttContext":
         """A view of this context restricted to the given limb rows (no
         recomputation) — used for CKKS leveled operations where dropped
-        primes leave the chain."""
+        primes leave the chain.
+
+        Cached per index tuple: callers may request subsets inside a jit
+        trace (CKKS key switch does, once per level), and rebuilding the
+        device twiddle tables as in-trace constants measured ~3.4 ms/call
+        at RUNTIME on v5e (XLA does not hoist them out of loop bodies).
+        Cache insertion is gated on trace_state_clean(): tables built
+        during a trace are tracers in jax 0.9 and must not outlive it."""
+        from abc_tpu.utils.tracing import trace_state_clean
+        key = tuple(indices)
+        cache = getattr(self, "_subset_cache", None)
+        if cache is None:
+            cache = self._subset_cache = {}
+        if key in cache:
+            return cache[key]
+        indices = list(key)
         view = object.__new__(NttContext)
         view.n = self.n
         view.logn = self.logn
@@ -152,10 +167,19 @@ class NttContext:
             import jax
             view.fwd = jax.jit(NttContext.fwd.__get__(view))
             view.inv = jax.jit(NttContext.inv.__get__(view))
-            view._attach_pallas()
+            if hasattr(self, "_pallas"):
+                # share the parent's device twiddle tables (row slices) —
+                # no host Montgomery recomputation per subset
+                view._pallas = self._pallas.sliced(indices)
+                view.fwd = view._pallas.fwd
+                view.inv = view._pallas.inv
+            else:
+                view._attach_pallas()
             view.negacyclic_mul = jax.jit(NttContext.negacyclic_mul.__get__(view))
         elif self.engine_name == "np64":
             view._attach_native()
+        if trace_state_clean():
+            cache[key] = view
         return view
 
     # --- transforms -----------------------------------------------------------

@@ -295,6 +295,17 @@ class NttKernels:
         self.ip, self.il = jnp.asarray(ip), jnp.asarray(il)
         self.ninv_m = jnp.asarray(ninv_m)
 
+    def sliced(self, rows) -> "NttKernels":
+        """Kernels restricted to the given limb rows, sharing (slicing) this
+        object's device tables — no host recomputation. Used by
+        NttContext.subset for CKKS leveled transforms."""
+        idx = np.asarray(list(rows), dtype=np.int64)
+        view = object.__new__(NttKernels)
+        view.n = self.n
+        for name in ("q", "qinv", "fp", "fl", "ip", "il", "ninv_m"):
+            setattr(view, name, getattr(self, name)[idx])
+        return view
+
     def fwd(self, a):
         return pallas_fwd_ntt(a, self.q, self.qinv, self.fp, self.fl,
                               n=self.n)

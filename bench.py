@@ -31,7 +31,7 @@ import time
 
 SEAL_CPU_BASELINE_OPS_PER_S = 40.0
 N = 8192
-CHAIN = 512        # mult+relin ops chained per jitted call (TPU)
+CHAIN = 2048       # mult+relin ops chained per jitted call (TPU)
 CHAIN_CPU = 8      # the jx32-on-CPU fallback is ~100x slower per op
 REPEATS = 3        # timed calls
 TPU_TIMEOUT_S = 1500   # first-time jit compile on TPU can take minutes
