@@ -117,3 +117,28 @@ def run_dryrun(n_devices: int, n: int = 256, verbose: bool = True) -> None:
     if verbose:
         print(f"dryrun_multichip OK: mesh dp={dp} x limb={limb}, "
               f"n={n}, L={ctx.params.L}, batch={B}, decrypted {got}")
+
+    # second axis: coefficient-sharded CKKS multiply+relin (ppermute
+    # butterfly exchanges inside the NTT, BASELINE config 5)
+    from jax.sharding import Mesh as _Mesh
+
+    from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
+    from abc_tpu.parallel.dist_ckks import DistCkksMultiplier
+
+    coeff_mesh = _Mesh(np.asarray(devices[:n_devices]), ("coeff",))
+    cparams = CkksParams.create(n, levels=3, engine="jx32", seed=13)
+    cctx = CkksContext(cparams)
+    cctx.get_relin_key()
+    dist = DistCkksMultiplier(cctx, coeff_mesh)
+    vals = np.linspace(0.1, 0.9, n // 2)
+    ca = cctx.encrypt(cctx.encode(vals))
+    cb = cctx.encrypt(cctx.encode(vals))
+    prod = jax.block_until_ready(
+        jax.jit(dist)(jnp.asarray(np.asarray(ca.data)),
+                      jnp.asarray(np.asarray(cb.data))))
+    ct = CkksCiphertext(np.asarray(prod), ca.level, ca.scale * cb.scale)
+    got_c = cctx.decode(cctx.decrypt(ct)).real[:n // 2]
+    assert np.max(np.abs(got_c - vals * vals)) < 0.05, "coeff-shard mismatch"
+    if verbose:
+        print(f"dryrun coeff-sharded CKKS OK: coeff={n_devices}, n={n}, "
+              f"max err {np.max(np.abs(got_c - vals * vals)):.4f}")
