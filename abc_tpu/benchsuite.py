@@ -1,0 +1,215 @@
+"""Staged benchmark suite — BASELINE.json's five configs, runnable for real.
+
+The reference's benchmark program writes a HARDCODED CSV (ast_demo,
+examples/main.cpp:39-46); every number here is measured. Each config prints
+one JSON line {"metric", "value", "unit", "vs_baseline", ...}. The
+vs_baseline denominators are documented SEAL-CPU stand-ins (the reference
+publishes no numbers, BASELINE.md):
+
+  config 1  cardio end-to-end on the dummy scheme (CPU)
+            vs the reference ast_demo CSV's t_computation placeholder.
+  config 2  BFV n=8192 ct-ct mult+relin on TPU — the bench.py headline —
+            vs SEAL ≈ 40 ops/s on m5n.xlarge.
+  config 3  batched hamming distance (mult+relin + 2 Galois rotations,
+            log-depth rotate-reduce) on TPU vs SEAL ≈ 18 ops/s
+            (25 ms mult+relin + 2×15 ms rotations).
+  config 4  cone-rewriting multiplicative-depth reduction: depth before/
+            after on the Aubry-style benchmark circuit + compile time.
+  config 5  CKKS n=32768 mult+relin on TPU (single chip) vs SEAL ≈ 10 ops/s,
+            plus bit-exact validation of the coefficient-sharded multiply
+            on an 8-virtual-device mesh (multi-chip hardware is not
+            available on this rig; the sharded path is validated, not timed).
+
+Timing protocol on TPU: dependent ops chained under lax.fori_loop to
+amortize the axon tunnel's 25-45 ms per-dispatch RPC latency (a rig
+artifact); reported numbers are sequential per-op latencies.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict
+
+
+def _chain_ops_per_s(step, arg0, args, chain: int, repeats: int = 3) -> float:
+    """ops/s of `step` chained `chain` deep under fori_loop (TPU-safe)."""
+    import jax
+
+    @jax.jit
+    def chained(x):
+        return jax.lax.fori_loop(0, chain, lambda i, v: step(v, *args), x)
+
+    jax.block_until_ready(chained(arg0))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(arg0))
+        times.append(time.perf_counter() - t0)
+    return chain / min(times)
+
+
+# --------------------------------------------------------------------------
+def config1_cardio_dummy() -> Dict:
+    """Cardio risk score: parse → circuit lowering → dummy-scheme run."""
+    from abc_tpu.cli import run_benchmark
+    r = run_benchmark("cardio", backend="dummy", slots=1024, runs=3)
+    ms = r["t_computation"]
+    return {"metric": "config1_cardio_dummy_e2e", "value": round(ms, 3),
+            "unit": "ms", "vs_baseline": round(38315.0 / max(ms, 1e-9), 2),
+            "note": "baseline = reference ast_demo placeholder CSV "
+                    "t_computation (examples/main.cpp:41-42)"}
+
+
+def config2_bfv_mult_relin(chain: int = 2048) -> Dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from abc_tpu.crypto.bfv import BfvCiphertext, BfvContext
+    from abc_tpu.crypto.params import BfvParams
+
+    ctx = BfvContext(BfvParams.create(8192, engine="jx32", seed=123))
+    ctx.get_relin_key()
+    a = ctx.encrypt(ctx.encode([1, 2, 3, 4]))
+    b = ctx.encrypt(ctx.encode([5, 6, 7, 8]))
+
+    def step(x, y):
+        return ctx.multiply(BfvCiphertext(x), BfvCiphertext(y)).data
+
+    ops = _chain_ops_per_s(step, jnp.asarray(np.asarray(a.data)),
+                           (jnp.asarray(np.asarray(b.data)),), chain)
+    return {"metric": f"config2_bfv_n8192_mult_relin ({jax.default_backend()})",
+            "value": round(ops, 2), "unit": "ops/s",
+            "vs_baseline": round(ops / 40.0, 2)}
+
+
+def config3_batched_hamming(chain: int = 512) -> Dict:
+    """Batched hamming distance over 4 packed slots: d = (x−y)²,
+    rotate-reduce with 2 Galois rotations — one mult+relin + 2 rotations +
+    3 adds per iteration (the reference's HammingDistanceTest workload,
+    compiled by the batching pass to exactly this op sequence)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from abc_tpu.crypto.bfv import BfvCiphertext, BfvContext
+    from abc_tpu.crypto.params import BfvParams
+
+    ctx = BfvContext(BfvParams.create(8192, engine="jx32", seed=7))
+    ctx.get_relin_key()
+    ctx.get_galois_key(pow(3, 1, 2 * ctx.params.n))
+    ctx.get_galois_key(pow(3, 2, 2 * ctx.params.n))
+    x = ctx.encrypt(ctx.encode([1, 1, 0, 1]))
+    y = ctx.encrypt(ctx.encode([1, 0, 1, 1]))
+
+    def hamming(xd, yd):
+        d = ctx.sub(BfvCiphertext(xd), BfvCiphertext(yd))
+        sq = ctx.multiply(d, d)
+        s = ctx.add(sq, ctx.rotate_rows(sq, 2))
+        s = ctx.add(s, ctx.rotate_rows(s, 1))
+        return s.data
+
+    ops = _chain_ops_per_s(lambda v, yd: hamming(v, yd),
+                           jnp.asarray(np.asarray(x.data)),
+                           (jnp.asarray(np.asarray(y.data)),), chain)
+    # correctness of one pass (slot 0 holds the distance = 2)
+    out = hamming(jnp.asarray(np.asarray(x.data)),
+                  jnp.asarray(np.asarray(y.data)))
+    got = ctx.decode(ctx.decrypt(BfvCiphertext(np.asarray(out))))[0]
+    return {"metric": f"config3_batched_hamming_n8192 ({jax.default_backend()})",
+            "value": round(ops, 2), "unit": "ops/s",
+            "vs_baseline": round(ops / 18.0, 2),
+            "correct": got == 2,
+            "note": "per op: 1 ct-ct mult+relin + 2 Galois rotations + adds;"
+                    " baseline = SEAL CPU stand-in 18 ops/s"}
+
+
+def config4_cone_rewriting() -> Dict:
+    """Multiplicative-depth reduction on a deep boolean-style circuit
+    (Aubry et al. pattern: a chain of ANDs rebalanced through cone
+    selection). Reports depth before/after; depth is the FHE cost model."""
+    from abc_tpu.parser import Parser
+    from abc_tpu.passes.cone_rewriter import (
+        multiplicative_depth, run_cone_rewriting,
+    )
+    from abc_tpu.passes.type_checking import run_type_checking
+    from abc_tpu.ast_ir.nodes import Assignment, Block
+    from abc_tpu.utils.datatype import Datatype, Type
+
+    # composite: a left-leaning 9-way product chain (parser emits depth 8;
+    # associative rebalancing → ceil(log2 9) = 4) feeding the Aubry cone
+    # pattern t*(y + t2*(y2 + deep)) that cone selection rebalances further
+    src = ("r = t *** (y +++ (t2 *** (y2 +++ (((((((((x1 *** x2) *** x3)"
+           " *** x4) *** x5) *** x6) *** x7) *** x8) *** x9)))));")
+    ast = Parser.parse(src)
+    expr = None
+    for stmt in ast.children():
+        if isinstance(stmt, Assignment):
+            expr = stmt.value
+    t0 = time.perf_counter()
+    depth_before = multiplicative_depth(expr)
+    run_cone_rewriting(ast)
+    compile_ms = (time.perf_counter() - t0) * 1e3
+    for stmt in ast.children():
+        if isinstance(stmt, Assignment):
+            expr = stmt.value
+    depth_after = multiplicative_depth(expr)
+    return {"metric": "config4_cone_rewriting_mult_depth",
+            "value": depth_after, "unit": "mult-depth (from "
+            f"{depth_before})",
+            "vs_baseline": round(depth_before / max(depth_after, 1), 2),
+            "compile_ms": round(compile_ms, 2)}
+
+
+def config5_ckks_sharded(chain: int = 256) -> Dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
+
+    n = 32768
+    params = CkksParams.create(n, levels=8, engine="jx32", seed=3)
+    ctx = CkksContext(params)
+    ctx.get_relin_key()
+    L = params.L
+    rng = np.random.default_rng(0)
+    ct = jnp.asarray(rng.integers(0, 2 ** 29, size=(2, L, n),
+                                  dtype=np.uint64).astype(np.uint32))
+
+    def step(x):
+        a = CkksCiphertext(x, L, params.scale)
+        return ctx.multiply(a, a, rescale=False).data
+
+    ops = _chain_ops_per_s(lambda v: step(v), ct, (), chain)
+    return {"metric": f"config5_ckks_n32768_mult_relin "
+                      f"({jax.default_backend()})",
+            "value": round(ops, 2), "unit": "ops/s",
+            "vs_baseline": round(ops / 10.0, 2),
+            "note": "coeff-sharded multiply validated bit-exact on the "
+                    "8-device virtual mesh (tests/test_dist_ckks.py); no "
+                    "multi-chip hardware on this rig to time scaling"}
+
+
+def _chain_ops_per_s_1arg(step, arg0, chain, repeats=3):  # pragma: no cover
+    return _chain_ops_per_s(lambda v: step(v), arg0, (), chain, repeats)
+
+
+CONFIGS = {
+    1: config1_cardio_dummy,
+    2: config2_bfv_mult_relin,
+    3: config3_batched_hamming,
+    4: config4_cone_rewriting,
+    5: config5_ckks_sharded,
+}
+
+
+def run_suite(configs=None) -> None:
+    for k in sorted(configs or CONFIGS):
+        try:
+            print(json.dumps(CONFIGS[k]()), flush=True)
+        except Exception as exc:  # keep the suite going
+            print(json.dumps({"metric": f"config{k} (failed)",
+                              "value": 0.0, "unit": "-", "vs_baseline": 0.0,
+                              "error": str(exc)[:200]}), flush=True)

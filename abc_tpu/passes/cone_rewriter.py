@@ -91,6 +91,48 @@ def _rebuild_add(operands: List[AbstractExpression], op: Operator
     return expr
 
 
+def rebalance_depth(expr: AbstractExpression) -> AbstractExpression:
+    """Associative rebalancing of multiplication chains — the complementary
+    depth reduction to cone rewriting: a left-leaning product chain
+    x1·x2·…·xk (depth k−1, what a recursive-descent parser emits) becomes a
+    depth-optimal tree via Huffman combination on operand depth (always pair
+    the two shallowest operands: max(d1,d2)+1 is the minimal achievable
+    combine). Pure associativity — exact for ring AND boolean semantics.
+
+    Recurses through BinaryExpression trees only; chains hidden under other
+    node types (calls, ternaries) are left as-is. Returns a NEW expression
+    (operands cloned), like ConeRewriter's local rewrites."""
+    import heapq
+    if not isinstance(expr, BinaryExpression):
+        return expr
+    if expr.operator.op not in MUL_OPS:
+        return BinaryExpression(rebalance_depth(expr.left).clone(),
+                                expr.operator,
+                                rebalance_depth(expr.right).clone())
+    op_enum = expr.operator.op
+    mul_op = expr.operator
+    operands: List[AbstractExpression] = []
+
+    def collect(x: AbstractExpression) -> None:
+        if isinstance(x, BinaryExpression) and x.operator.op == op_enum:
+            collect(x.left)
+            collect(x.right)
+        else:
+            operands.append(rebalance_depth(x).clone())
+
+    collect(expr)
+    heap = [(multiplicative_depth(o), i, o) for i, o in enumerate(operands)]
+    heapq.heapify(heap)
+    seq = len(operands)
+    while len(heap) > 1:
+        d1, _, a = heapq.heappop(heap)
+        d2, _, b = heapq.heappop(heap)
+        heapq.heappush(heap, (max(d1, d2) + 1, seq,
+                              BinaryExpression(a, mul_op, b)))
+        seq += 1
+    return heap[0][2]
+
+
 class ConeRewriter:
     """Greedy critical-path cone rewriting to a fixpoint."""
 
@@ -168,18 +210,26 @@ class ConeRewriter:
                 break
         return root
 
-    def rewrite_ast(self, ast: Block) -> None:
-        """Rewrite every statement expression in a program."""
+    def rewrite_ast(self, ast: Block, rebalance: bool = True) -> None:
+        """Rewrite every statement expression in a program. With rebalance
+        (default), associative mul chains are depth-balanced first — the
+        cone rewrite then only fires where slack genuinely exists."""
+        def process(expr: AbstractExpression) -> AbstractExpression:
+            if rebalance:
+                expr = rebalance_depth(expr)
+            return self.rewrite_expression(expr)
+
         for stmt in ast.iter_preorder():
             if isinstance(stmt, Assignment):
-                stmt.value = self.rewrite_expression(stmt.value)
+                stmt.value = process(stmt.value)
             elif isinstance(stmt, VariableDeclaration) and stmt.value is not None:
-                stmt.value = self.rewrite_expression(stmt.value)
+                stmt.value = process(stmt.value)
             elif isinstance(stmt, Return) and stmt.value is not None:
-                stmt.value = self.rewrite_expression(stmt.value)
+                stmt.value = process(stmt.value)
 
 
-def run_cone_rewriting(ast: Block, max_rounds: int = 64) -> ConeRewriter:
+def run_cone_rewriting(ast: Block, max_rounds: int = 64,
+                       rebalance: bool = True) -> ConeRewriter:
     cr = ConeRewriter(max_rounds)
-    cr.rewrite_ast(ast)
+    cr.rewrite_ast(ast, rebalance=rebalance)
     return cr

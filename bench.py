@@ -95,6 +95,12 @@ def _run_worker(mode: str, timeout: float):
 
 
 def main() -> None:
+    # staged suite (BASELINE configs 1-5): python bench.py --suite [N ...]
+    if len(sys.argv) > 1 and sys.argv[1] == "--suite":
+        from abc_tpu.benchsuite import run_suite
+        picks = [int(x) for x in sys.argv[2:]] or None
+        run_suite(picks)
+        return
     result = _run_worker("tpu", TPU_TIMEOUT_S)
     suffix = ""
     if result is None or result.get("backend") == "cpu":

@@ -175,3 +175,51 @@ def test_depth_reduction_lowers_noise_on_bfv():
     shallow = he_eval(ConeRewriter().rewrite_expression(expr_of(src)))
     assert ctx.decode(ctx.decrypt(deep))[0] == ctx.decode(ctx.decrypt(shallow))[0] == 1
     assert ctx.noise_budget(shallow) > ctx.noise_budget(deep)
+
+
+# --------------------------------------------------------------- rebalancing
+
+def test_rebalance_mul_chain_depth():
+    from abc_tpu.passes.cone_rewriter import rebalance_depth
+    src = ("v = ((((((((x1 *** x2) *** x3) *** x4) *** x5) *** x6) *** x7)"
+           " *** x8) *** x9);")
+    original = expr_of(src)
+    balanced = rebalance_depth(expr_of(src))
+    assert multiplicative_depth(original) == 8
+    assert multiplicative_depth(balanced) == 4  # ceil(log2(9))
+    assert_equivalent(original, balanced)
+
+
+def test_rebalance_respects_unbalanced_operand_depths():
+    """Huffman pairing: deep operands should combine LAST."""
+    from abc_tpu.passes.cone_rewriter import rebalance_depth
+    # (a*b*c*d) already depth 2 when balanced; chain with 4 leaves x1..x4:
+    # optimal is pairing leaves together first -> total depth 3
+    src = "v = (((x1 *** ((a *** b) *** (c *** d))) *** x2) *** x3);"
+    original = expr_of(src)
+    balanced = rebalance_depth(expr_of(src))
+    assert multiplicative_depth(balanced) == 3
+    assert multiplicative_depth(balanced) < multiplicative_depth(original)
+    assert_equivalent(original, balanced)
+
+
+def test_rebalance_preserves_add_structure():
+    from abc_tpu.passes.cone_rewriter import rebalance_depth
+    src = "v = (x1 *** x2) +++ ((x3 *** x4) *** (x5 *** x6));"
+    original = expr_of(src)
+    balanced = rebalance_depth(expr_of(src))
+    assert_equivalent(original, balanced)
+    assert multiplicative_depth(balanced) == multiplicative_depth(original)
+
+
+def test_run_cone_rewriting_with_rebalance_on_program():
+    src = ("r = t *** (y +++ (t2 *** (y2 +++ (((((x1 *** x2) *** x3)"
+           " *** x4) *** x5) *** x6))));")
+    ast1 = parse(src)
+    ast2 = parse(src)
+    run_cone_rewriting(ast2)
+    e1, e2 = expr_of(src), ast2.children()[0].value
+    before = multiplicative_depth(ast1.children()[0].value)
+    after = multiplicative_depth(e2)
+    assert after < before
+    assert_equivalent(ast1.children()[0].value, e2)
