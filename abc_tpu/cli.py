@@ -104,7 +104,7 @@ def _workload(name: str) -> Tuple[str, str, str, CompileOptions]:
 
 
 def run_benchmark(name: str, backend: str = "dummy", slots: int = 1024,
-                  runs: int = 1) -> Dict[str, float]:
+                  runs: int = 1, engine: str = "np64") -> Dict[str, float]:
     inputs_src, program_src, output_src, options = _workload(name)
     input_ast = Parser.parse(inputs_src)
     output_ast = Parser.parse(output_src)
@@ -119,7 +119,10 @@ def run_benchmark(name: str, backend: str = "dummy", slots: int = 1024,
             factory = DummyCiphertextFactory(slots)
         elif backend == "bfv":
             from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
-            factory = BfvCiphertextFactory(slots=slots, seed=1)
+            # the per-op interpreter is host-bound: np64 by default (eager
+            # dispatch on the tunneled TPU is pathologically slow; the TPU
+            # path is the whole-program jit executor, runtime/jit_executor.py)
+            factory = BfvCiphertextFactory(slots=slots, seed=1, engine=engine)
         else:
             raise SystemExit(f"unknown backend {backend!r}")
         t_keygen = time.perf_counter() - t0
@@ -164,9 +167,12 @@ def main(argv=None) -> int:
     ap.add_argument("--runs", type=int, default=1,
                     help="repetitions; best computation time is reported "
                          "(fleet protocol uses NUM_RUNS=10, benchmarks.yml:27)")
+    ap.add_argument("--engine", default="np64", choices=["np64", "jx32"],
+                    help="modarith engine for the bfv backend")
     args = ap.parse_args(argv)
 
-    result = run_benchmark(args.benchmark, args.backend, args.slots, args.runs)
+    result = run_benchmark(args.benchmark, args.backend, args.slots, args.runs,
+                           args.engine)
     outputs = result.pop("_outputs", {})
     header = "t_keygen,t_input_encryption,t_computation,t_decryption"
     row = ",".join(f"{result[k]:.3f}" for k in header.split(","))

@@ -97,6 +97,18 @@ class BfvContext:
         self._host = host
         self.P_half = P >> 1
 
+        # fast-decrypt tables: m = round(Σ_l y_l·t/q_l) mod t with
+        # y_l = [v_l·(q/q_l)^{-1}]_{q_l} (exact CRT scale-and-round; each
+        # f64 term y_l·t/q_l has numerator < 2^50, so the summed rounding
+        # error is < L·2^-29 — far below the 1/2 decision boundary unless
+        # the ciphertext is at noise capacity, where we fall back to exact
+        # bigints)
+        self._dec_qhat_inv = np.asarray(
+            [modinv((q_big // qi) % qi, qi) for qi in qs],
+            dtype=np.uint64).reshape(L, 1)
+        self._dec_t_over_q = (float(t) / np.asarray(qs, dtype=np.float64)
+                              ).reshape(L, 1)
+
         if self._on_device:
             import jax.numpy as jnp
             self._dev = jnp.asarray
@@ -275,21 +287,41 @@ class BfvContext:
         return acc
 
     def decrypt(self, ct: BfvCiphertext) -> Plaintext:
-        return self._decrypt_full(ct)[0]
+        """Fast vectorized CRT scale-and-round (see table notes in __init__);
+        exact-bigint fallback when a coefficient sits at the rounding
+        boundary (noise at capacity)."""
+        v = self._dot_secret(ct)
+        L = self.params.L
+        t = self.params.plain_modulus
+        qs64 = np.asarray(self.params.data_primes, dtype=np.uint64
+                          ).reshape(L, 1)
+        y = v.astype(np.uint64) * self._dec_qhat_inv % qs64
+        total = (y.astype(np.float64) * self._dec_t_over_q).sum(axis=0)
+        r = np.rint(total)
+        if np.max(np.abs(total - r)) < 0.499:
+            coeffs = (r.astype(np.int64) % t).astype(np.uint32)
+            return Plaintext(coeffs)
+        return self._decrypt_exact(v)[0]
 
-    def _decrypt_full(self, ct: BfvCiphertext) -> Tuple[Plaintext, int]:
-        """Returns (plaintext, invariant-noise budget in bits)."""
+    def _dot_secret(self, ct: BfvCiphertext) -> np.ndarray:
+        """v = Σ_k c_k·s^k mod q, [L, n] coefficient-domain residues
+        (supports size-3 pre-relin ciphertexts)."""
         h = self.hq
         L = self.params.L
         data = np.asarray(ct.data).astype(np.uint32)
-        # v = Σ_k c_k·s^k mod q (supports size-3 pre-relin ciphertexts)
         s_pow = None
         v_ntt = h.fwd(data[0])
         for k in range(1, ct.size):
             s_pow = self.s_ntt_full[:L] if s_pow is None else \
                 h.pointwise_mul(s_pow, self.s_ntt_full[:L])
             v_ntt = h.add(v_ntt, h.pointwise_mul(h.fwd(data[k]), s_pow))
-        v = h.inv(v_ntt)
+        return h.inv(v_ntt)
+
+    def _decrypt_full(self, ct: BfvCiphertext) -> Tuple[Plaintext, int]:
+        """Returns (plaintext, invariant-noise budget in bits) — exact."""
+        return self._decrypt_exact(self._dot_secret(ct))
+
+    def _decrypt_exact(self, v: np.ndarray) -> Tuple[Plaintext, int]:
         q_big, t = self.params.q, self.params.plain_modulus
         big = self._crt_compose_host(v)
         coeffs = np.zeros(self.params.n, dtype=np.uint32)

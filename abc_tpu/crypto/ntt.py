@@ -35,6 +35,32 @@ def bit_reverse(x: int, bits: int) -> int:
     return r
 
 
+def _bit_reverse_vec(n: int, bits: int) -> np.ndarray:
+    """[n] int64: bit_reverse(k, bits) for all k, vectorized."""
+    k = np.arange(n, dtype=np.uint64)
+    r = np.zeros(n, dtype=np.uint64)
+    for _ in range(bits):
+        r = (r << np.uint64(1)) | (k & np.uint64(1))
+        k >>= np.uint64(1)
+    return r.astype(np.int64)
+
+
+def _power_table(base: int, n: int, q: int) -> np.ndarray:
+    """[n] uint64: base^i mod q by iterative doubling (q < 2^32 so products
+    stay inside uint64). Replaces the former per-index Python loop — table
+    construction dominated context setup (~1s at n=8192)."""
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = 1
+    filled = 1
+    step = base % q
+    while filled < n:
+        take = min(filled, n - filled)
+        out[filled:filled + take] = out[:take] * np.uint64(step) % np.uint64(q)
+        step = step * step % q
+        filled += take
+    return out
+
+
 class NttContext:
     """Precomputed twiddle tables for one (n, moduli) pair."""
 
@@ -54,19 +80,18 @@ class NttContext:
         n_inv = np.zeros((L, 1), dtype=np.uint32)
         n_inv_sh = np.zeros((L, 1), dtype=np.uint32)
         self.psi = []
+        brv = _bit_reverse_vec(n, self.logn)
         for l, q in enumerate(self.moduli):
             psi = find_minimal_2nth_root(n, q)
             self.psi.append(psi)
-            powers = [1] * n
-            for i in range(1, n):
-                powers[i] = powers[i - 1] * psi % q
-            for k in range(n):
-                w = powers[bit_reverse(k, self.logn)]
-                fwd[l, k] = w
-                fwd_sh[l, k] = shoup(w, q)
-                wi = modinv(w, q)
-                inv[l, k] = wi
-                inv_sh[l, k] = shoup(wi, q)
+            qv = np.uint64(q)
+            fwd_p = _power_table(psi, n, q)[brv]          # psi^brv(k)
+            inv_p = _power_table(modinv(psi, q), n, q)[brv]
+            fwd[l] = fwd_p.astype(np.uint32)
+            inv[l] = inv_p.astype(np.uint32)
+            # shoup companion floor(w·2^32/q): w < 2^30 so w<<32 < 2^62
+            fwd_sh[l] = ((fwd_p << np.uint64(32)) // qv).astype(np.uint32)
+            inv_sh[l] = ((inv_p << np.uint64(32)) // qv).astype(np.uint32)
             ninv = modinv(n, q)
             n_inv[l, 0] = ninv
             n_inv_sh[l, 0] = shoup(ninv, q)
@@ -82,6 +107,12 @@ class NttContext:
                 "jx32 engine requires 30-bit moduli (Barrett range)"
             import jax
             import jax.numpy as jnp
+            # keep HOST copies: Pallas table construction reads these, and
+            # np.asarray on a device array round-trips through the (slow,
+            # tunneled) device→host path — measured ~46 s per context
+            self.host_tables = {
+                name: np.asarray(getattr(self, name))
+                for name in ("q", "fwd_tw", "inv_tw", "n_inv")}
             for name in ("q", "mu", "fwd_tw", "fwd_tw_sh", "inv_tw",
                          "inv_tw_sh", "n_inv", "n_inv_sh"):
                 setattr(self, name, jnp.asarray(getattr(self, name)))
@@ -163,6 +194,8 @@ class NttContext:
         for name in ("q", "mu", "fwd_tw", "fwd_tw_sh", "inv_tw",
                      "inv_tw_sh", "n_inv", "n_inv_sh"):
             setattr(view, name, getattr(self, name)[idx])
+        if hasattr(self, "host_tables"):
+            view.host_tables = {k: v[idx] for k, v in self.host_tables.items()}
         if self.engine_name == "jx32":
             import jax
             view.fwd = jax.jit(NttContext.fwd.__get__(view))

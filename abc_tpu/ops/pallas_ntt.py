@@ -92,12 +92,17 @@ def get_tables(ctx) -> Tuple:
     if key not in _TABLE_CACHE:
         n = ctx.n
         moduli = ctx.moduli
-        fp, fl = build_tables(n, np.asarray(ctx.fwd_tw), moduli)
-        ip, il = build_tables(n, np.asarray(ctx.inv_tw), moduli)
+        # host_tables avoids a device→host read of jnp tables (the axon
+        # tunnel makes that pathologically slow)
+        host = getattr(ctx, "host_tables", None)
+        fwd_tw = host["fwd_tw"] if host else np.asarray(ctx.fwd_tw)
+        inv_tw = host["inv_tw"] if host else np.asarray(ctx.inv_tw)
+        fp, fl = build_tables(n, fwd_tw, moduli)
+        ip, il = build_tables(n, inv_tw, moduli)
         qinv_neg = np.asarray([(-pow(q, -1, 1 << 32)) % (1 << 32)
                                for q in moduli], dtype=np.uint64
                               ).astype(np.uint32).reshape(-1, 1)
-        ninv = np.asarray(ctx.n_inv).reshape(-1)
+        ninv = (host["n_inv"] if host else np.asarray(ctx.n_inv)).reshape(-1)
         ninv_mont = np.asarray(
             [(int(v) << 32) % q for v, q in zip(ninv, moduli)],
             dtype=np.uint64).astype(np.uint32).reshape(-1, 1)
@@ -289,7 +294,9 @@ class NttKernels:
     def __init__(self, ctx):
         fp, fl, ip, il, qinv, ninv_m = get_tables(ctx)
         self.n = ctx.n
-        self.q = jnp.asarray(np.asarray(ctx.q, dtype=np.uint32).reshape(-1))
+        host = getattr(ctx, "host_tables", None)
+        q_np = host["q"] if host else np.asarray(ctx.q)
+        self.q = jnp.asarray(q_np.astype(np.uint32).reshape(-1))
         self.qinv = jnp.asarray(qinv)
         self.fp, self.fl = jnp.asarray(fp), jnp.asarray(fl)
         self.ip, self.il = jnp.asarray(ip), jnp.asarray(il)
