@@ -25,15 +25,15 @@ _U32P = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 
 
 def _build() -> None:
-    for cc in ("cc", "gcc", "g++", "clang"):
-        try:
-            subprocess.run(
-                [cc, "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-                 "-o", _SO],
-                check=True, capture_output=True)
-            return
-        except (subprocess.CalledProcessError, FileNotFoundError):
-            continue
+    base = ["-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO]
+    for extra in (["-fopenmp"], []):       # prefer threaded; fall back serial
+        for cc in ("g++", "cc", "gcc", "clang"):
+            try:
+                subprocess.run([cc] + extra + base,
+                               check=True, capture_output=True)
+                return
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                continue
     raise RuntimeError("no working C compiler found for the native engine")
 
 
@@ -56,8 +56,38 @@ def load() -> ctypes.CDLL:
                                  ctypes.c_int64, ctypes.c_int64]
     lib.sub_mod_poly.argtypes = [_U32P, _U32P, _U32P, _U32P,
                                  ctypes.c_int64, ctypes.c_int64]
+    lib.mul_mod_rows.argtypes = [_U32P, _U32P, _U32P, _U32P, _U32P,
+                                 ctypes.c_int64, ctypes.c_int64]
+    lib.ntt_forward_batch.argtypes = [_U32P, _U32P, _U32P, _U32P,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64]
+    lib.ntt_inverse_batch.argtypes = [_U32P, _U32P, _U32P, _U32P, _U32P,
+                                      _U32P, ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64]
     _LIB = lib
     return lib
+
+
+def mul_mod_rows(a: np.ndarray, b: np.ndarray, q: np.ndarray,
+                 mu: np.ndarray) -> np.ndarray:
+    """Broadcast a·b mod q over [..., n] rows via the native engine.
+    a, b broadcast together; q/mu broadcast over the row dims."""
+    lib = load()
+    a2, b2 = np.broadcast_arrays(a, b)
+    shape = a2.shape
+    n = shape[-1]
+    rows = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    q_rows = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(q, dtype=np.uint32).reshape(
+            np.asarray(q).shape[:-1]), shape[:-1]).reshape(-1))
+    mu_rows = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(mu, dtype=np.uint32).reshape(
+            np.asarray(mu).shape[:-1]), shape[:-1]).reshape(-1))
+    a2 = np.ascontiguousarray(a2, dtype=np.uint32).reshape(rows, n)
+    b2 = np.ascontiguousarray(b2, dtype=np.uint32).reshape(rows, n)
+    out = np.empty((rows, n), dtype=np.uint32)
+    lib.mul_mod_rows(a2, b2, out, q_rows, mu_rows, rows, n)
+    return out.reshape(shape)
 
 
 def available() -> bool:
@@ -88,21 +118,17 @@ class NativeNtt:
 
     def fwd(self, a: np.ndarray) -> np.ndarray:
         out = np.ascontiguousarray(a, dtype=np.uint32).copy()
-        flat = out.reshape(-1, self.n)
-        reps = flat.shape[0] // self.L
-        for r in range(reps):
-            self.lib.ntt_forward(flat[r * self.L:(r + 1) * self.L],
-                                 self.tw, self.twsh, self.q, self.L, self.n)
+        flat = out.reshape(-1, self.L, self.n)
+        self.lib.ntt_forward_batch(flat, self.tw, self.twsh, self.q,
+                                   flat.shape[0], self.L, self.n)
         return out
 
     def inv(self, a: np.ndarray) -> np.ndarray:
         out = np.ascontiguousarray(a, dtype=np.uint32).copy()
-        flat = out.reshape(-1, self.n)
-        reps = flat.shape[0] // self.L
-        for r in range(reps):
-            self.lib.ntt_inverse(flat[r * self.L:(r + 1) * self.L],
-                                 self.itw, self.itwsh, self.ninv, self.ninvsh,
-                                 self.q, self.L, self.n)
+        flat = out.reshape(-1, self.L, self.n)
+        self.lib.ntt_inverse_batch(flat, self.itw, self.itwsh, self.ninv,
+                                   self.ninvsh, self.q,
+                                   flat.shape[0], self.L, self.n)
         return out
 
     def pointwise_mul(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
