@@ -410,34 +410,24 @@ class BfvContext:
         return BfvCiphertext(xp.stack([c0, c1]))
 
     # ------------------------------------------------------------- key switching
-    def _key_switch(self, d, ksk) -> Tuple:
-        """d: [L, n] coeff-domain poly over q → (k0, k1) over q with
-        k0 + k1·s ≈ d·s2 (both coeff domain)."""
+    def _decompose_ntt(self, d):
+        """RNS-decompose d ([L, n] coeff domain over q) and lift to the full
+        base q∪P in NTT domain: D [L, L+1, n]. This is the EXPENSIVE half of
+        a key switch (L·(L+1) forward NTTs) — hoisted_rotations computes it
+        once and reuses it across many Galois elements."""
         L, full, n = self.params.L, self.params.L + 1, self.params.n
-        ksk_b, ksk_a = ksk
-        # cache the device copies of the (host-numpy, trace-safe) key: large
-        # numpy constants referenced inside a jit trace are re-staged per
-        # trace and were measured to slow the compiled loop on v5e
-        ck = id(ksk_b)
-        cache = getattr(self, "_ksk_dev_cache", None)
-        if cache is None:
-            cache = self._ksk_dev_cache = {}
-        if ck in cache:
-            ksk_b, ksk_a = cache[ck]
-        else:
-            dev_b, dev_a = self._dev(ksk_b), self._dev(ksk_a)
-            from abc_tpu.utils.tracing import trace_state_clean
-            if trace_state_clean():        # in-trace values are tracers
-                cache[ck] = (dev_b, dev_a)
-            ksk_b, ksk_a = dev_b, dev_a
         xp = _xp(d)
         q_full = self._tab["q_full"].reshape(1, full, 1)
-        mu_full = self._tab["mu_full"].reshape(1, full, 1)
-        # lift limb i's residues to the full base; a single conditional
-        # subtract is exact because all primes share one bit size
         lifted = xp.broadcast_to(d[:, None, :], (L, full, n))
         lifted = xp.where(lifted >= q_full, lifted - q_full, lifted)
-        D = self.ntt_qp.fwd(lifted)                     # [L, full, n]
+        return self.ntt_qp.fwd(lifted)
+
+    def _ks_inner(self, D, ksk_b, ksk_a) -> Tuple:
+        """Inner product of a decomposition D with a switching key, then
+        mod-switch down: the CHEAP half of a key switch."""
+        full = self.params.L + 1
+        q_full = self._tab["q_full"].reshape(1, full, 1)
+        mu_full = self._tab["mu_full"].reshape(1, full, 1)
         tb = self.engine.mul(D, ksk_b, q_full, mu_full)
         ta = self.engine.mul(D, ksk_a, q_full, mu_full)
         acc_b = _acc_mod(tb, self._tab["q_full"], self.engine)
@@ -445,6 +435,28 @@ class BfvContext:
         acc_b = self.ntt_qp.inv(acc_b)
         acc_a = self.ntt_qp.inv(acc_a)
         return self._mod_switch_down(acc_b), self._mod_switch_down(acc_a)
+
+    def _ksk_device(self, ksk) -> Tuple:
+        """Device copies of a (host-numpy, trace-safe) switching key, cached
+        trace-aware (see note below)."""
+        ksk_b, ksk_a = ksk
+        ck = id(ksk_b)
+        cache = getattr(self, "_ksk_dev_cache", None)
+        if cache is None:
+            cache = self._ksk_dev_cache = {}
+        if ck in cache:
+            return cache[ck]
+        dev = (self._dev(ksk_b), self._dev(ksk_a))
+        from abc_tpu.utils.tracing import trace_state_clean
+        if trace_state_clean():            # in-trace values are tracers
+            cache[ck] = dev
+        return dev
+
+    def _key_switch(self, d, ksk) -> Tuple:
+        """d: [L, n] coeff-domain poly over q → (k0, k1) over q with
+        k0 + k1·s ≈ d·s2 (both coeff domain)."""
+        ksk_b, ksk_a = self._ksk_device(ksk)
+        return self._ks_inner(self._decompose_ntt(d), ksk_b, ksk_a)
 
     def _mod_switch_down(self, x):
         """[L+1, n] over q∪P → [L, n] over q: (x − centered([x]_P))·P^{-1}."""
@@ -499,6 +511,57 @@ class BfvContext:
         k0, k1 = self._key_switch(out[1], self.get_galois_key(g))
         c0 = self.engine.add(out[0], k0, self.q_q)
         return BfvCiphertext(xp.stack([c0, k1]))
+
+    def _galois_perm_eval(self, g: int) -> np.ndarray:
+        """Gather indices applying x → x^g in the NTT (evaluation) domain:
+        position p holds the eval at ψ^{e_p}, e_p = 2·brv(p)+1, and the
+        automorphism is the PURE permutation out[p] = in[pos(e_p·g mod 2n)]
+        — no signs (signs only arise in coefficient order). This is what
+        makes hoisting work: the decomposition can be permuted AFTER its
+        (expensive) forward NTTs."""
+        key = ("eval", g)
+        if key not in self._perm_cache:
+            n = self.params.n
+            logn = n.bit_length() - 1
+            m = 2 * n
+            brv = np.array([bit_reverse(p, logn) for p in range(n)],
+                           dtype=np.int64)
+            e = 2 * brv + 1                          # exponent at position p
+            pos_of_exp = np.empty(m, dtype=np.int64)
+            pos_of_exp[e] = np.arange(n)             # odd exponents only
+            self._perm_cache[key] = pos_of_exp[(e * g) % m]
+        return self._perm_cache[key]
+
+    def hoisted_rotations(self, ct: BfvCiphertext,
+                          steps_list: Sequence[int]) -> List[BfvCiphertext]:
+        """Rotate ONE ciphertext by MANY step counts, sharing the key-switch
+        decomposition (HElib/SEAL-style hoisting; the Vectorizer design's
+        "rotation re-use", reference Vectorizer.h:60-98). The L·(L+1)
+        forward NTTs of the decomposition run once; each rotation then costs
+        only a permutation + inner product + inverse NTTs — ~3-4× cheaper
+        per additional rotation. Used by baby-step/giant-step matvec."""
+        if ct.size != 2:
+            raise RuntimeExecutionError("relinearize before rotating")
+        n = self.params.n
+        xp = _xp(ct.data)
+        D = self._decompose_ntt(ct.data[1])           # hoisted: once
+        out = []
+        for steps in steps_list:
+            s = steps % (n // 2)
+            if s == 0:
+                out.append(BfvCiphertext(ct.data))
+                continue
+            g = pow(3, s, 2 * n)
+            perm = self._galois_perm_eval(g)
+            ksk_b, ksk_a = self._ksk_device(self.get_galois_key(g))
+            k0, k1 = self._ks_inner(D[..., perm], ksk_b, ksk_a)
+            gather, sign_pos = self._galois_perm(g)   # coeff-domain for c0
+            c0g = ct.data[0][..., gather]
+            c0g = xp.where(sign_pos, c0g, self.engine.neg(c0g, self.q_q))
+            out.append(BfvCiphertext(xp.stack([self.engine.add(c0g, k0,
+                                                               self.q_q),
+                                               k1])))
+        return out
 
     def rotate_rows(self, ct: BfvCiphertext, steps: int) -> BfvCiphertext:
         """Rotate each batching row by `steps` (positive = left), matching
