@@ -187,6 +187,8 @@ class BehzContext:
         bsk1 = self._to_bsk(ct1_data)
         bsk2 = self._to_bsk(ct2_data)
         # tensor product in NTT domain, separately per base
+        # (measured: stacking both ciphertexts into one [2,2,L,n] NTT call
+        # costs more in copies than the extra batch amortization saves)
         f1q, f2q = nq.fwd(ct1_data), nq.fwd(ct2_data)
         f1b, f2b = nb.fwd(bsk1), nb.fwd(bsk2)
         e = self.engine

@@ -432,9 +432,10 @@ class BfvContext:
         ta = self.engine.mul(D, ksk_a, q_full, mu_full)
         acc_b = _acc_mod(tb, self._tab["q_full"], self.engine)
         acc_a = _acc_mod(ta, self._tab["q_full"], self.engine)
-        acc_b = self.ntt_qp.inv(acc_b)
-        acc_a = self.ntt_qp.inv(acc_a)
-        return self._mod_switch_down(acc_b), self._mod_switch_down(acc_a)
+        # one batched inverse transform (B=2) — separate calls amortize the
+        # per-limb twiddle table loads half as well
+        acc = self.ntt_qp.inv(_xp(D).stack([acc_b, acc_a]))
+        return self._mod_switch_down(acc[0]), self._mod_switch_down(acc[1])
 
     def _ksk_device(self, ksk) -> Tuple:
         """Device copies of a (host-numpy, trace-safe) switching key, cached

@@ -454,10 +454,9 @@ class CkksContext:
         ta = self.engine.mul(D, ksk_a, q_cols, mu_cols)
         acc_b = _acc_mod(tb, self._tab["q_full"][cols_idx], self.engine)
         acc_a = _acc_mod(ta, self._tab["q_full"][cols_idx], self.engine)
-        acc_b = ntt.inv(acc_b)
-        acc_a = ntt.inv(acc_a)
-        return (self._mod_switch_down(acc_b, level),
-                self._mod_switch_down(acc_a, level))
+        acc = ntt.inv(xp.stack([acc_b, acc_a]))     # one batched inverse
+        return (self._mod_switch_down(acc[0], level),
+                self._mod_switch_down(acc[1], level))
 
     def _mod_switch_down(self, x, level: int):
         """[level+1, n] over q^(level)∪P → [level, n]: divide by P."""
