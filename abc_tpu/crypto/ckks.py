@@ -421,35 +421,45 @@ class CkksContext:
         return CkksCiphertext(out, drop, ct.scale / q_drop)
 
     # ------------------------------------------------------------- key switching
-    def _key_switch(self, d, ksk, level: int) -> Tuple:
-        """Hybrid key switch at `level`: rows i < level, limbs
-        {0..level-1} ∪ {P}."""
-        L, n = self.params.L, self.params.n
+    def _ksk_device(self, ksk, level: int, cols_idx) -> Tuple:
+        """Per-level device slices of a switching key, cached trace-aware
+        (numpy slicing inside a jit trace re-creates the ~10 MB constants
+        on every trace and measurably slows the compiled loop body)."""
         ksk_b_full, ksk_a_full = ksk
-        cols = list(range(level)) + [L]
-        cols_idx = np.asarray(cols, dtype=np.int64)
-        # cache the per-level device slices of the switching key: numpy
-        # slicing inside a jit trace re-creates the ~10 MB constants on
-        # every trace and measurably slows the compiled loop body
         ck = (id(ksk_b_full), level)
         cache = getattr(self, "_ksk_dev_cache", None)
         if cache is None:
             cache = self._ksk_dev_cache = {}
         if ck in cache:
-            ksk_b, ksk_a = cache[ck]
-        else:
-            ksk_b = self._dev(ksk_b_full[:level][:, cols_idx])
-            ksk_a = self._dev(ksk_a_full[:level][:, cols_idx])
-            from abc_tpu.utils.tracing import trace_state_clean
-            if trace_state_clean():        # in-trace values are tracers
-                cache[ck] = (ksk_b, ksk_a)
-        ntt = self.ntt_qp.subset(cols)
+            return cache[ck]
+        dev = (self._dev(ksk_b_full[:level][:, cols_idx]),
+               self._dev(ksk_a_full[:level][:, cols_idx]))
+        from abc_tpu.utils.tracing import trace_state_clean
+        if trace_state_clean():            # in-trace values are tracers
+            cache[ck] = dev
+        return dev
+
+    def _decompose_ntt(self, d, level: int):
+        """RNS-decompose d ([level, n]) and lift to base q^(level)∪{P} in
+        NTT domain: [level, level+1, n]. The expensive half of a key switch
+        — hoisted_rotations computes it once per ciphertext."""
+        L, n = self.params.L, self.params.n
+        cols_idx = np.asarray(list(range(level)) + [L], dtype=np.int64)
         xp = _xp(d)
         q_cols = self._tab["q_full"][cols_idx].reshape(1, level + 1, 1)
-        mu_cols = self._tab["mu_full"][cols_idx].reshape(1, level + 1, 1)
         lifted = xp.broadcast_to(d[:, None, :], (level, level + 1, n))
         lifted = xp.where(lifted >= q_cols, lifted - q_cols, lifted)
-        D = ntt.fwd(lifted)
+        ntt = self.ntt_qp.subset(list(range(level)) + [L])
+        return ntt.fwd(lifted)
+
+    def _ks_inner(self, D, ksk_b, ksk_a, level: int) -> Tuple:
+        L = self.params.L
+        cols = list(range(level)) + [L]
+        cols_idx = np.asarray(cols, dtype=np.int64)
+        ntt = self.ntt_qp.subset(cols)
+        xp = _xp(D)
+        q_cols = self._tab["q_full"][cols_idx].reshape(1, level + 1, 1)
+        mu_cols = self._tab["mu_full"][cols_idx].reshape(1, level + 1, 1)
         tb = self.engine.mul(D, ksk_b, q_cols, mu_cols)
         ta = self.engine.mul(D, ksk_a, q_cols, mu_cols)
         acc_b = _acc_mod(tb, self._tab["q_full"][cols_idx], self.engine)
@@ -457,6 +467,15 @@ class CkksContext:
         acc = ntt.inv(xp.stack([acc_b, acc_a]))     # one batched inverse
         return (self._mod_switch_down(acc[0], level),
                 self._mod_switch_down(acc[1], level))
+
+    def _key_switch(self, d, ksk, level: int) -> Tuple:
+        """Hybrid key switch at `level`: rows i < level, limbs
+        {0..level-1} ∪ {P}."""
+        cols_idx = np.asarray(list(range(level)) + [self.params.L],
+                              dtype=np.int64)
+        ksk_b, ksk_a = self._ksk_device(ksk, level, cols_idx)
+        return self._ks_inner(self._decompose_ntt(d, level),
+                              ksk_b, ksk_a, level)
 
     def _mod_switch_down(self, x, level: int):
         """[level+1, n] over q^(level)∪P → [level, n]: divide by P."""
@@ -471,6 +490,55 @@ class CkksContext:
         return self.engine.mul(diff, self._tab["P_inv_mod_q"][:level], q, mu)
 
     # ------------------------------------------------------------------ rotations
+    def _galois_perm_eval(self, g: int) -> np.ndarray:
+        """Automorphism x → x^g as a PURE permutation of NTT positions
+        (same convention as BfvContext._galois_perm_eval: position p holds
+        the eval at ψ^{2·brv(p)+1}). Enables hoisting."""
+        key = ("eval", g)
+        if key not in self._perm_cache:
+            n = self.params.n
+            logn = n.bit_length() - 1
+            m = 2 * n
+            brv = np.array([bit_reverse(p, logn) for p in range(n)],
+                           dtype=np.int64)
+            e = 2 * brv + 1
+            pos_of_exp = np.empty(m, dtype=np.int64)
+            pos_of_exp[e] = np.arange(n)
+            self._perm_cache[key] = pos_of_exp[(e * g) % m]
+        return self._perm_cache[key]
+
+    def hoisted_rotations(self, ct: CkksCiphertext,
+                          steps_list: Sequence[int]) -> List[CkksCiphertext]:
+        """Rotate ONE ciphertext by MANY step counts sharing the key-switch
+        decomposition (the L·(L+1) forward NTTs run once); see
+        BfvContext.hoisted_rotations."""
+        n = self.params.n
+        level = ct.level
+        xp = _xp(ct.data)
+        cols_idx = np.asarray(list(range(level)) + [self.params.L],
+                              dtype=np.int64)
+        D = self._decompose_ntt(ct.data[1], level)
+        q, _ = self._tabs_at(level)
+        out = []
+        for steps in steps_list:
+            s = steps % (n // 2)
+            if s == 0:
+                out.append(CkksCiphertext(ct.data, level, ct.scale))
+                continue
+            g = pow(3, s, 2 * n)   # same slot generator as rotate()
+            perm = self._galois_perm_eval(g)
+            ksk_b, ksk_a = self._ksk_device(self.get_galois_key(g), level,
+                                            cols_idx)
+            k0, k1 = self._ks_inner(D[..., perm], ksk_b, ksk_a, level)
+            gather, sign_pos = self._galois_perm(g)
+            c0g = ct.data[0][..., gather]
+            sp = xp.asarray(sign_pos) if hasattr(xp, "asarray") else sign_pos
+            c0g = xp.where(sp, c0g, self.engine.neg(c0g, q))
+            out.append(CkksCiphertext(
+                xp.stack([self.engine.add(c0g, k0, q), k1]),
+                level, ct.scale))
+        return out
+
     def rotate(self, ct: CkksCiphertext, steps: int) -> CkksCiphertext:
         """Rotate the n/2 complex slots by `steps` (positive = left)."""
         n = self.params.n

@@ -114,3 +114,11 @@ class BfvCiphertextFactory(AbstractCiphertextFactory):
             raise RuntimeExecutionError(
                 "BfvCiphertextFactory can only decrypt its own ciphertexts")
         return self.context.decode(self.context.decrypt(ciphertext.ct))
+
+    # --- whole-program jit protocol (runtime/jit_executor.py) ---------------
+    def jit_pack(self, handle):
+        """(traced array, static metadata) for a ciphertext handle."""
+        return handle.ct.data, None
+
+    def jit_unpack(self, array, meta=None) -> TpuBfvCiphertext:
+        return TpuBfvCiphertext(BfvCiphertext(array), self)

@@ -115,3 +115,13 @@ class CkksCiphertextFactory(AbstractCiphertextFactory):
                 "CkksCiphertextFactory can only decrypt its own ciphertexts")
         z = self.context.decode(self.context.decrypt(ciphertext.ct))
         return [float(v) for v in np.real(z)]
+
+    # --- whole-program jit protocol (runtime/jit_executor.py) ---------------
+    def jit_pack(self, handle):
+        """(traced array, static metadata): CKKS carries (level, scale) as
+        trace-time constants alongside the RNS array."""
+        return handle.ct.data, (handle.ct.level, handle.ct.scale)
+
+    def jit_unpack(self, array, meta) -> TpuCkksCiphertext:
+        level, scale = meta
+        return TpuCkksCiphertext(CkksCiphertext(array, level, scale), self)

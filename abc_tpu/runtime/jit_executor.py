@@ -8,24 +8,27 @@ flow (loop bounds, literal indices) is evaluated at trace time, and the whole
 encrypted program compiles to a single fused XLA executable. On the axon TPU,
 where eager dispatch costs seconds per op, this is the only viable path.
 
+Backend-generic: any factory implementing the jit protocol
+(jit_pack(handle) -> (array, static_meta); jit_unpack(array, meta) ->
+handle) works — BFV and CKKS both do.
+
 Protocol mirrors the reference's three-AST harness: input declarations /
 program / output assignments.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
 from abc_tpu.ast_ir.nodes import (
     Block, ExpressionList, Literal, VariableDeclaration,
 )
-from abc_tpu.crypto.bfv import BfvCiphertext
 from abc_tpu.passes.pipeline import CompiledProgram
-from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory, TpuBfvCiphertext
+from abc_tpu.runtime.backend import AbstractCiphertextFactory
 from abc_tpu.runtime.executor import RuntimeVisitor
-from abc_tpu.runtime.values import Cleartext
+from abc_tpu.runtime.values import AbstractCiphertext, Cleartext
 from abc_tpu.utils.errors import RuntimeExecutionError
 
 
@@ -37,19 +40,25 @@ class JittedProgram:
     without re-tracing (same shapes).
     """
 
-    def __init__(self, compiled: CompiledProgram, factory: BfvCiphertextFactory,
+    def __init__(self, compiled: CompiledProgram,
+                 factory: AbstractCiphertextFactory,
                  input_ast: Block, output_ast: Block):
         import jax
 
-        if factory.params.engine != "jx32":
+        if getattr(factory.params, "engine", None) != "jx32":
             raise RuntimeExecutionError(
                 "whole-program jit requires the jx32 (JAX) engine")
+        if not hasattr(factory, "jit_pack"):
+            raise RuntimeExecutionError(
+                f"{type(factory).__name__} does not implement the jit "
+                "protocol (jit_pack/jit_unpack)")
         self.factory = factory
         self.compiled = compiled
         self.output_ast = output_ast
 
         # host-side input preparation: evaluate declarations, encrypt secrets
         self.secret_inputs: Dict[str, object] = {}
+        self._input_meta: Dict[str, object] = {}
         self._plain_entries = []
         self._secret_types = {}
         for decl in input_ast.children():
@@ -59,28 +68,33 @@ class JittedProgram:
             cleartext = _static_cleartext(decl)
             name = decl.target.identifier
             if decl.datatype.secret:
-                ct = factory.create_ciphertext(cleartext)
-                self.secret_inputs[name] = ct.ct.data
+                handle = factory.create_ciphertext(cleartext)
+                arr, meta = factory.jit_pack(handle)
+                self.secret_inputs[name] = arr
+                self._input_meta[name] = meta
                 self._secret_types[name] = decl.datatype
             else:
                 self._plain_entries.append((name, decl.datatype, cleartext))
 
         tainted = compiled.secret_tainted
+        self._out_meta: Dict[str, object] = {}
 
         def fn(secret_arrays: Dict[str, object]):
             rv = RuntimeVisitor(factory, Block([]), tainted)
             for name, dt, ctext in self._plain_entries:
                 rv.globals.declare(name, dt, ctext)
             for name, arr in secret_arrays.items():
-                handle = TpuBfvCiphertext(BfvCiphertext(arr), factory)
+                handle = factory.jit_unpack(arr, self._input_meta[name])
                 rv.globals.declare(name, self._secret_types[name], handle)
             rv.execute_ast(compiled.ast)
             outputs = rv.get_output(output_ast)
             out_arrays = {}
             self._out_is_ct = {}
             for name, value in outputs:
-                if isinstance(value, TpuBfvCiphertext):
-                    out_arrays[name] = value.ct.data
+                if isinstance(value, AbstractCiphertext):
+                    arr, meta = factory.jit_pack(value)
+                    out_arrays[name] = arr
+                    self._out_meta[name] = meta
                     self._out_is_ct[name] = True
                 elif isinstance(value, Cleartext):
                     out_arrays[name] = np.asarray(value.values)
@@ -97,16 +111,17 @@ class JittedProgram:
     def run_raw(self, secret_arrays: Dict[str, object]) -> Dict[str, object]:
         return self._jitted(secret_arrays)
 
-    def run(self) -> Dict[str, List[int]]:
+    def run(self) -> Dict[str, List]:
         """Execute and decrypt all outputs (host-side decrypt boundary)."""
         raw = self.run_raw(self.secret_inputs)
-        out: Dict[str, List[int]] = {}
+        out: Dict[str, List] = {}
         for name, arr in raw.items():
             if self._out_is_ct[name]:
-                out[name] = self.factory.context.decode(
-                    self.factory.context.decrypt(BfvCiphertext(np.asarray(arr))))
+                handle = self.factory.jit_unpack(np.asarray(arr),
+                                                 self._out_meta[name])
+                out[name] = self.factory.decrypt(handle)
             else:
-                out[name] = [int(v) for v in np.asarray(arr)]
+                out[name] = list(np.asarray(arr).tolist())
         return out
 
 
@@ -128,7 +143,7 @@ def _static_cleartext(decl: VariableDeclaration) -> Cleartext:
 
 
 def jit_compile_program(program_src: str, inputs_src: str, output_src: str,
-                        factory: BfvCiphertextFactory,
+                        factory: AbstractCiphertextFactory,
                         options=None) -> JittedProgram:
     """Parse + compile + jit in one call (the full TPU-native pipeline)."""
     from abc_tpu.parser import Parser

@@ -117,3 +117,18 @@ def test_jx32_engine_bit_exact():
     r_np = c_np.rotate(c_np.multiply(a_np, b_np), 1)
     r_jx = c_jx.rotate(c_jx.multiply(a_jx, b_jx), 1)
     np.testing.assert_array_equal(np.asarray(r_jx.data), r_np.data)
+
+
+def test_hoisted_rotations_match_sequential():
+    import numpy as np
+    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    params = CkksParams.create(512, levels=3, seed=9)
+    ctx = CkksContext(params)
+    vals = np.linspace(-1.0, 1.0, params.n // 2)
+    ct = ctx.encrypt(ctx.encode(vals))
+    steps = [0, 1, 3, -2]
+    hoisted = ctx.hoisted_rotations(ct, steps)
+    for s, h in zip(steps, hoisted):
+        want = ctx.decode(ctx.decrypt(ctx.rotate(ct, s))).real
+        got = ctx.decode(ctx.decrypt(h)).real
+        np.testing.assert_allclose(got, want, atol=1e-3)

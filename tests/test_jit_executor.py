@@ -84,3 +84,20 @@ def test_rerun_without_retrace(factory):
     dec = factory.context.decode(factory.context.decrypt(
         BfvCiphertext(np.asarray(raw["y"]))))
     assert dec[0] == 42
+
+
+def test_jitted_ckks_program():
+    """The whole-program jit path is backend-generic: CKKS float program
+    traced into one XLA executable (jit_pack/jit_unpack protocol)."""
+    from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+    from abc_tpu.runtime.jit_executor import jit_compile_program
+
+    fac = CkksCiphertextFactory(n=512, levels=3, engine="jx32", seed=4)
+    jp = jit_compile_program(
+        "secret double p = a *** b; p = rotate(p, 1);",
+        "secret double a = {1.5, 2.0, -0.5}; secret double b = {0.5, 0.25, 4.0};",
+        "yp = p;", fac)
+    out = jp.run()["yp"]
+    expected = [2.0 * 0.25, -0.5 * 4.0]   # rotated left by 1
+    for g, e in zip(out, expected):
+        assert abs(g - e) <= 1e-2, (out[:2], expected)
