@@ -125,12 +125,19 @@ def _umulhi(a, b):
 
 def _mul_mont(a, wm, q, qinv_neg):
     """Montgomery product a·(w·2^32)·2^−32 = a·w mod q, result < q."""
+    r = _mul_mont_lazy(a, wm, q, qinv_neg)
+    return jnp.where(r >= q, r - q, r)
+
+
+def _mul_mont_lazy(a, wm, q, qinv_neg):
+    """Lazy Montgomery REDC: for a < 4q (q < 2^30) the result is < 2q and
+    ≡ a·w (mod q) — the final conditional subtract is deferred to the
+    caller (Harvey-style lazy butterflies)."""
     t_lo = a * wm
     t_hi = _umulhi(a, wm)
     m = t_lo * qinv_neg
-    r = t_hi + _umulhi(m, q) + jnp.where(t_lo != 0, jnp.uint32(1),
-                                         jnp.uint32(0))
-    return jnp.where(r >= q, r - q, r)
+    return t_hi + _umulhi(m, q) + jnp.where(t_lo != 0, jnp.uint32(1),
+                                            jnp.uint32(0))
 
 
 def _add_mod(a, b, q):
@@ -177,18 +184,25 @@ def _fwd_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
     i = pl.program_id(0)
     q = q_ref[i, 0]
     qinv_neg = qinv_ref[i, 0]
+    two_q = q + q
     x = x_ref[0, 0]
     packed = packed_ref[0]
     logn = n.bit_length() - 1
+    # Harvey-style lazy butterflies: the stage invariant is x < 4q
+    # (4q < 2^32 for 30-bit primes); one entry reduction to < 2q, lazy
+    # Montgomery products in [0, 2q), outputs back under 4q. Exact values
+    # restored by the final two-step normalization — outputs bit-identical.
     for s in range(logn):
         t = n // (2 << s)
         wm = _stage_tw(n, s, packed, planes_ref[0])
         is_u = _is_u_mask(n, t)
-        hi = _roll(x, -1, t)
-        lo = _roll(x, 1, t)
-        wv = _mul_mont(jnp.where(is_u, hi, x), wm, q, qinv_neg)
-        x = jnp.where(is_u, _add_mod(x, wv, q), _sub_mod(lo, wv, q))
-    out_ref[0, 0] = x
+        xr = jnp.where(x >= two_q, x - two_q, x)          # < 2q
+        hi = _roll(xr, -1, t)
+        lo = _roll(xr, 1, t)
+        wv = _mul_mont_lazy(jnp.where(is_u, hi, xr), wm, q, qinv_neg)
+        x = jnp.where(is_u, xr + wv, lo + (two_q - wv))   # < 4q
+    x = jnp.where(x >= two_q, x - two_q, x)
+    out_ref[0, 0] = jnp.where(x >= q, x - q, x)
 
 
 def _inv_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
@@ -196,18 +210,22 @@ def _inv_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
     i = pl.program_id(0)
     q = q_ref[i, 0]
     qinv_neg = qinv_ref[i, 0]
+    two_q = q + q
     x = x_ref[0, 0]
     packed = packed_ref[0]
     logn = n.bit_length() - 1
+    # Gentleman-Sande with the x < 2q lazy invariant: sums reduced once,
+    # differences fed to the lazy Montgomery product as (u − v + 2q) < 4q.
     for s in range(logn - 1, -1, -1):
         t = n // (2 << s)
         wm = _stage_tw(n, s, packed, planes_ref[0])
         is_u = _is_u_mask(n, t)
         hi = _roll(x, -1, t)
         lo = _roll(x, 1, t)
-        u_new = _add_mod(x, hi, q)
-        v_new = _mul_mont(_sub_mod(lo, x, q), wm, q, qinv_neg)
-        x = jnp.where(is_u, u_new, v_new)
+        u_new = x + hi                                     # < 4q
+        u_new = jnp.where(u_new >= two_q, u_new - two_q, u_new)
+        v_new = _mul_mont_lazy(lo + (two_q - x), wm, q, qinv_neg)
+        x = jnp.where(is_u, u_new, v_new)                  # < 2q
     ninv_m = jnp.broadcast_to(ninv_ref[i, 0], x.shape)
     out_ref[0, 0] = _mul_mont(x, ninv_m, q, qinv_neg)
 
