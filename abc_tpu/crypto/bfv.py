@@ -347,8 +347,23 @@ class BfvContext:
         return self._decrypt_full(ct)[1]
 
     # ------------------------------------------------------------ homomorphic ops
+    def _dbg_check(self, ct: BfvCiphertext) -> BfvCiphertext:
+        """Limb-consistency invariant check (debug mode, SURVEY.md §5):
+        every residue must sit in [0, q_l). Enable with
+        ABC_TPU_DEBUG_CHECKS=1; host (numpy) data only — traced arrays
+        cannot be inspected."""
+        import os
+        if os.environ.get("ABC_TPU_DEBUG_CHECKS") and \
+                isinstance(ct.data, np.ndarray):
+            q = np.asarray(self._host["q_full"][:self.params.L])
+            if not (ct.data < q).all():
+                raise RuntimeExecutionError(
+                    "limb-consistency violation: residue >= q_l")
+        return ct
+
     def add(self, a: BfvCiphertext, b: BfvCiphertext) -> BfvCiphertext:
-        return BfvCiphertext(self.engine.add(a.data, b.data, self.q_q))
+        return self._dbg_check(
+            BfvCiphertext(self.engine.add(a.data, b.data, self.q_q)))
 
     def sub(self, a: BfvCiphertext, b: BfvCiphertext) -> BfvCiphertext:
         return BfvCiphertext(self.engine.sub(a.data, b.data, self.q_q))
@@ -392,7 +407,7 @@ class BfvContext:
         if a.size != 2 or b.size != 2:
             raise RuntimeExecutionError("multiply expects size-2 ciphertexts")
         ct3 = BfvCiphertext(self._behz.multiply(a.data, b.data))
-        return self.relinearize(ct3) if relinearize else ct3
+        return self._dbg_check(self.relinearize(ct3) if relinearize else ct3)
 
     def square(self, a: BfvCiphertext, relinearize: bool = True) -> BfvCiphertext:
         return self.multiply(a, a, relinearize=relinearize)
@@ -511,7 +526,7 @@ class BfvContext:
         out = xp.where(sign_pos, out, self.engine.neg(out, self.q_q))
         k0, k1 = self._key_switch(out[1], self.get_galois_key(g))
         c0 = self.engine.add(out[0], k0, self.q_q)
-        return BfvCiphertext(xp.stack([c0, k1]))
+        return self._dbg_check(BfvCiphertext(xp.stack([c0, k1])))
 
     def _galois_perm_eval(self, g: int) -> np.ndarray:
         """Gather indices applying x → x^g in the NTT (evaluation) domain:

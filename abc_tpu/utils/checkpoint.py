@@ -103,3 +103,63 @@ def save_ciphertext(ct: BfvCiphertext, path: str) -> None:
 
 def load_ciphertext(path: str) -> BfvCiphertext:
     return BfvCiphertext(np.load(path))
+
+
+# --------------------------------------------------------------------- CKKS
+
+def save_ckks_context(ctx, path: str, include_secret_key: bool = True
+                      ) -> None:
+    """Persist a CKKS context: params + keys (npz)."""
+    arrays: Dict[str, np.ndarray] = {
+        "pk_b_ntt": np.asarray(ctx.pk_b_ntt),
+        "pk_a_ntt": np.asarray(ctx.pk_a_ntt),
+    }
+    if include_secret_key:
+        arrays["s_coeffs"] = ctx.s_coeffs
+    if ctx.relin_key is not None:
+        arrays["relin_b"], arrays["relin_a"] = (np.asarray(k)
+                                                for k in ctx.relin_key)
+    for g, (kb, ka) in ctx.galois_keys.items():
+        arrays[f"galois_{g}_b"] = np.asarray(kb)
+        arrays[f"galois_{g}_a"] = np.asarray(ka)
+    meta = dict(n=ctx.params.n, coeff_modulus=ctx.params.coeff_modulus,
+                scale=ctx.params.scale, engine=ctx.params.engine,
+                seed=ctx.params.seed, error_std=ctx.params.error_std)
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load_ckks_context(path: str):
+    """Restore a CKKS context with its exact keys (no re-keygen)."""
+    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    params = CkksParams(n=meta["n"],
+                        coeff_modulus=list(meta["coeff_modulus"]),
+                        scale=meta["scale"], engine=meta["engine"],
+                        seed=meta["seed"], error_std=meta["error_std"])
+    ctx = CkksContext(params)
+    if "s_coeffs" in data:
+        ctx.s_coeffs = data["s_coeffs"]
+        full = list(range(params.L + 1))
+        ctx.s_ntt_full = ctx.hqp.fwd(ctx._lift_signed(ctx.s_coeffs, full))
+    ctx.pk_b_ntt = data["pk_b_ntt"]
+    ctx.pk_a_ntt = data["pk_a_ntt"]
+    if "relin_b" in data:
+        ctx.relin_key = (data["relin_b"], data["relin_a"])
+    for key in data.files:
+        if key.startswith("galois_") and key.endswith("_b"):
+            g = int(key.split("_")[1])
+            ctx.galois_keys[g] = (data[f"galois_{g}_b"], data[f"galois_{g}_a"])
+    return ctx
+
+
+def save_ckks_ciphertext(ct, path: str) -> None:
+    """CKKS ciphertext = RNS array + (level, scale) sidecar."""
+    np.savez_compressed(path, data=np.asarray(ct.data),
+                        level=np.int64(ct.level), scale=np.float64(ct.scale))
+
+
+def load_ckks_ciphertext(path: str):
+    from abc_tpu.crypto.ckks import CkksCiphertext
+    z = np.load(path)
+    return CkksCiphertext(z["data"], int(z["level"]), float(z["scale"]))

@@ -123,3 +123,23 @@ class ProfilingFactory(AbstractCiphertextFactory):
 
     def report(self) -> List[dict]:
         return self.recorder.report()
+
+
+# ------------------------------------------------------------- device traces
+
+@contextmanager
+def device_trace(logdir: str):
+    """jax.profiler trace around a block: XLA/TPU timeline written to
+    `logdir` (view with TensorBoard or xprof). The FHE analogue of the
+    training-loop profiler; complements the host-side PhaseTimer.
+
+    Usage:
+        with device_trace("/tmp/fhe-trace"):
+            jax.block_until_ready(jitted_program(args))
+    """
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -80,3 +80,44 @@ def test_context_and_ciphertext_roundtrip(tmp_path):
     prod = ctx2.multiply(ct2, ct2)
     rot = ctx2.rotate_rows(prod, 1)
     assert ctx.decode(ctx.decrypt(rot))[:2] == [25, 36]
+
+
+def test_ckks_context_roundtrip(tmp_path):
+    import numpy as np
+    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    from abc_tpu.utils.checkpoint import (
+        load_ckks_ciphertext, load_ckks_context, save_ckks_ciphertext,
+        save_ckks_context,
+    )
+    params = CkksParams.create(512, levels=3, seed=21)
+    ctx = CkksContext(params)
+    ctx.get_relin_key()
+    vals = np.linspace(-1, 1, 256)
+    ct = ctx.multiply(ctx.encrypt(ctx.encode(vals)),
+                      ctx.encrypt(ctx.encode(vals)))
+    cpath = str(tmp_path / "ckks_ctx.npz")
+    save_ckks_context(ctx, cpath)
+    ctx2 = load_ckks_context(cpath)
+    tpath = str(tmp_path / "ct.npz")
+    save_ckks_ciphertext(ct, tpath)
+    ct2 = load_ckks_ciphertext(tpath)
+    got = ctx2.decode(ctx2.decrypt(ct2)).real
+    np.testing.assert_allclose(got, vals * vals, atol=2e-2)
+
+
+def test_debug_invariant_mode(monkeypatch):
+    from abc_tpu.crypto.bfv import BfvCiphertext, BfvContext
+    from abc_tpu.crypto.params import BfvParams
+    from abc_tpu.utils.errors import RuntimeExecutionError
+    import numpy as np
+    import pytest
+    monkeypatch.setenv("ABC_TPU_DEBUG_CHECKS", "1")
+    ctx = BfvContext(BfvParams.create(1024, seed=2))
+    a = ctx.encrypt(ctx.encode([1, 2]))
+    b = ctx.encrypt(ctx.encode([3, 4]))
+    out = ctx.multiply(a, b)           # passes the invariant check
+    assert ctx.decode(ctx.decrypt(out))[:2] == [3, 8]
+    bad = BfvCiphertext(np.full_like(np.asarray(a.data), 0xFFFFFFFF,
+                                     dtype=np.uint32))
+    with pytest.raises(RuntimeExecutionError):
+        ctx.add(bad, bad)
