@@ -112,7 +112,8 @@ class NttContext:
             # tunneled) device→host path — measured ~46 s per context
             self.host_tables = {
                 name: np.asarray(getattr(self, name))
-                for name in ("q", "fwd_tw", "inv_tw", "n_inv")}
+                for name in ("q", "fwd_tw", "fwd_tw_sh", "inv_tw",
+                             "inv_tw_sh", "n_inv", "n_inv_sh")}
             for name in ("q", "mu", "fwd_tw", "fwd_tw_sh", "inv_tw",
                          "inv_tw_sh", "n_inv", "n_inv_sh"):
                 setattr(self, name, jnp.asarray(getattr(self, name)))

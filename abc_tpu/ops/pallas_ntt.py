@@ -13,16 +13,23 @@ inference rejects those for small tiles):
     u' = u + w·x[p+t]          (u positions: (j mod 2t) < t)
     v' = x[p−t] − w·x[p]       (v positions)
 
-Twiddle bandwidth engineering (the actual bottleneck once fused):
-  * stage multiplies use MONTGOMERY form (w·2^32 mod q) — one table instead
-    of Shoup's value+companion pair → half the table traffic;
+Multiply strategy (v3): SHOUP with lazy reduction —
+
+    wv = a·w − umulhi(a, w_shoup)·q ∈ [0, 2q)      (16 u32 ops)
+
+vs Montgomery REDC's 32 ops. The twiddle tables double (value + companion
+plane per stage), but tables load once per limb per call (limb-outer grid)
+and the kernel is VPU-compute-bound, so halving the multiply cost wins.
+Stage values ride in [0, 4q) Harvey-style (4q < 2^32 for 30-bit primes)
+with one entry reduction per stage and a final two-step normalization —
+outputs stay bit-identical to the jnp/np64 paths (asserted in interpret
+mode on CPU and compiled on TPU).
+
+Table packing:
   * the log2(R) sublane-phase stages (t ≥ 128) have lane-constant twiddles,
     so they pack into ONE [R, 128] plane (stage per column, broadcast across
     lanes in-kernel) instead of a full plane per stage;
   * only the 7 lane-phase stages (t < 128) need full [R, 128] planes.
-
-Montgomery REDC yields exactly a·w mod q, so outputs stay bit-identical to
-the jnp/np64 paths (asserted in interpret mode on CPU and compiled on TPU).
 """
 
 from __future__ import annotations
@@ -45,22 +52,13 @@ LANE_STAGES = 7  # log2(LANE): stages with stride < 128
 # host-side table preparation
 # --------------------------------------------------------------------------
 
-def _to_mont(table: np.ndarray, moduli) -> np.ndarray:
-    """w → w·2^32 mod q per limb row (exact, host bigints)."""
-    out = np.empty_like(table)
-    for l, q in enumerate(moduli):
-        out[l] = ((table[l].astype(object) << 32) % q).astype(np.uint32)
-    return out
-
-
-def build_tables(n: int, table: np.ndarray, moduli) -> Tuple[np.ndarray, np.ndarray]:
+def build_tables(n: int, table: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(packed sublane-phase plane [L, R, 128], lane-phase planes
-    [L, 7, R, 128]) of MONTGOMERY-form twiddles.
+    [L, 7, R, 128]) for one twiddle table (values OR Shoup companions).
 
-    table: [L, n] twiddles in psi^bitrev layout (NttContext convention:
-    the stage with m blocks uses entries table[m + block_index])."""
-    mont = _to_mont(table, moduli)
-    L = mont.shape[0]
+    table: [L, n] in psi^bitrev layout (NttContext convention: the stage
+    with m blocks uses entries table[m + block_index])."""
+    L = table.shape[0]
     logn = n.bit_length() - 1
     R = n // LANE
     s1 = logn - LANE_STAGES                       # sublane-phase stage count
@@ -69,14 +67,14 @@ def build_tables(n: int, table: np.ndarray, moduli) -> Tuple[np.ndarray, np.ndar
         m = 1 << s
         t = n // (2 * m)
         r = np.arange(R)
-        packed[:, :, s] = mont[:, m + r // (2 * t // LANE)]
+        packed[:, :, s] = table[:, m + r // (2 * t // LANE)]
     planes = np.empty((L, LANE_STAGES, R, LANE), dtype=np.uint32)
     j = np.arange(n)
     for k in range(LANE_STAGES):
         s = s1 + k
         m = 1 << s
         t = n // (2 * m)
-        planes[:, k] = mont[:, m + j // (2 * t)].reshape(L, R, LANE)
+        planes[:, k] = table[:, m + j // (2 * t)].reshape(L, R, LANE)
     return packed, planes
 
 
@@ -84,29 +82,30 @@ _TABLE_CACHE: Dict[int, Tuple] = {}
 
 
 def get_tables(ctx) -> Tuple:
-    """Cached Montgomery twiddle tables + scalars for an NttContext.
+    """Cached packed twiddle tables + scalars for an NttContext.
 
-    Returns (fwd_packed, fwd_planes, inv_packed, inv_planes,
-             qinv_neg [L,1], ninv_mont [L,1])."""
+    Returns (fwd_packed_w, fwd_packed_sh, fwd_planes_w, fwd_planes_sh,
+             inv_packed_w, inv_packed_sh, inv_planes_w, inv_planes_sh,
+             ninv [L,1], ninv_sh [L,1])."""
     key = id(ctx)
     if key not in _TABLE_CACHE:
         n = ctx.n
-        moduli = ctx.moduli
         # host_tables avoids a device→host read of jnp tables (the axon
         # tunnel makes that pathologically slow)
         host = getattr(ctx, "host_tables", None)
-        fwd_tw = host["fwd_tw"] if host else np.asarray(ctx.fwd_tw)
-        inv_tw = host["inv_tw"] if host else np.asarray(ctx.inv_tw)
-        fp, fl = build_tables(n, fwd_tw, moduli)
-        ip, il = build_tables(n, inv_tw, moduli)
-        qinv_neg = np.asarray([(-pow(q, -1, 1 << 32)) % (1 << 32)
-                               for q in moduli], dtype=np.uint64
-                              ).astype(np.uint32).reshape(-1, 1)
-        ninv = (host["n_inv"] if host else np.asarray(ctx.n_inv)).reshape(-1)
-        ninv_mont = np.asarray(
-            [(int(v) << 32) % q for v, q in zip(ninv, moduli)],
-            dtype=np.uint64).astype(np.uint32).reshape(-1, 1)
-        _TABLE_CACHE[key] = (fp, fl, ip, il, qinv_neg, ninv_mont)
+
+        def tab(name):
+            return host[name] if host and name in host \
+                else np.asarray(getattr(ctx, name))
+
+        fpw, flw = build_tables(n, tab("fwd_tw"))
+        fps, fls = build_tables(n, tab("fwd_tw_sh"))
+        ipw, ilw = build_tables(n, tab("inv_tw"))
+        ips, ils = build_tables(n, tab("inv_tw_sh"))
+        ninv = tab("n_inv").astype(np.uint32).reshape(-1, 1)
+        ninv_sh = tab("n_inv_sh").astype(np.uint32).reshape(-1, 1)
+        _TABLE_CACHE[key] = (fpw, fps, flw, fls, ipw, ips, ilw, ils,
+                             ninv, ninv_sh)
     return _TABLE_CACHE[key]
 
 
@@ -123,30 +122,17 @@ def _umulhi(a, b):
     return a1 * b1 + (t >> 16) + (t2 >> 16)
 
 
-def _mul_mont(a, wm, q, qinv_neg):
-    """Montgomery product a·(w·2^32)·2^−32 = a·w mod q, result < q."""
-    r = _mul_mont_lazy(a, wm, q, qinv_neg)
+def _mul_shoup_lazy(a, w, wsh, q):
+    """Shoup product with deferred correction: a·w − ⌊a·wsh/2^32⌋·q ∈ [0, 2q)
+    for any uint32 a (we use a < 4q), w < q, wsh = ⌊w·2^32/q⌋. All u32
+    arithmetic wraps mod 2^32; the true value is < 2q so it is exact."""
+    return a * w - _umulhi(a, wsh) * q
+
+
+def _mul_shoup(a, w, wsh, q):
+    """Exact Shoup product, result < q."""
+    r = _mul_shoup_lazy(a, w, wsh, q)
     return jnp.where(r >= q, r - q, r)
-
-
-def _mul_mont_lazy(a, wm, q, qinv_neg):
-    """Lazy Montgomery REDC: for a < 4q (q < 2^30) the result is < 2q and
-    ≡ a·w (mod q) — the final conditional subtract is deferred to the
-    caller (Harvey-style lazy butterflies)."""
-    t_lo = a * wm
-    t_hi = _umulhi(a, wm)
-    m = t_lo * qinv_neg
-    return t_hi + _umulhi(m, q) + jnp.where(t_lo != 0, jnp.uint32(1),
-                                            jnp.uint32(0))
-
-
-def _add_mod(a, b, q):
-    r = a + b
-    return jnp.where(r >= q, r - q, r)
-
-
-def _sub_mod(a, b, q):
-    return jnp.where(a >= b, a - b, a + q - b)
 
 
 def _roll(x, shift: int, t: int):
@@ -169,8 +155,8 @@ def _is_u_mask(n: int, t: int):
 
 
 def _stage_tw(n, s, packed, planes):
-    """Montgomery twiddle plane for stage s (broadcast from the packed
-    column for sublane-phase stages)."""
+    """Twiddle plane for stage s (broadcast from the packed column for
+    sublane-phase stages)."""
     logn = n.bit_length() - 1
     s1 = logn - LANE_STAGES
     if s < s1:
@@ -179,55 +165,56 @@ def _stage_tw(n, s, packed, planes):
     return planes[s - s1]
 
 
-def _fwd_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
+def _fwd_kernel(n: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref, lsh_ref,
                 out_ref):
     i = pl.program_id(0)
     q = q_ref[i, 0]
-    qinv_neg = qinv_ref[i, 0]
     two_q = q + q
     x = x_ref[0, 0]
-    packed = packed_ref[0]
+    pw, psh = pw_ref[0], psh_ref[0]
     logn = n.bit_length() - 1
     # Harvey-style lazy butterflies: the stage invariant is x < 4q
     # (4q < 2^32 for 30-bit primes); one entry reduction to < 2q, lazy
-    # Montgomery products in [0, 2q), outputs back under 4q. Exact values
+    # Shoup products in [0, 2q), outputs back under 4q. Exact values
     # restored by the final two-step normalization — outputs bit-identical.
     for s in range(logn):
         t = n // (2 << s)
-        wm = _stage_tw(n, s, packed, planes_ref[0])
+        w = _stage_tw(n, s, pw, lw_ref[0])
+        wsh = _stage_tw(n, s, psh, lsh_ref[0])
         is_u = _is_u_mask(n, t)
         xr = jnp.where(x >= two_q, x - two_q, x)          # < 2q
         hi = _roll(xr, -1, t)
         lo = _roll(xr, 1, t)
-        wv = _mul_mont_lazy(jnp.where(is_u, hi, xr), wm, q, qinv_neg)
+        wv = _mul_shoup_lazy(jnp.where(is_u, hi, xr), w, wsh, q)
         x = jnp.where(is_u, xr + wv, lo + (two_q - wv))   # < 4q
     x = jnp.where(x >= two_q, x - two_q, x)
     out_ref[0, 0] = jnp.where(x >= q, x - q, x)
 
 
-def _inv_kernel(n: int, q_ref, qinv_ref, x_ref, packed_ref, planes_ref,
-                ninv_ref, out_ref):
+def _inv_kernel(n: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref, lsh_ref,
+                ninv_ref, ninvsh_ref, out_ref):
     i = pl.program_id(0)
     q = q_ref[i, 0]
-    qinv_neg = qinv_ref[i, 0]
     two_q = q + q
     x = x_ref[0, 0]
-    packed = packed_ref[0]
+    pw, psh = pw_ref[0], psh_ref[0]
     logn = n.bit_length() - 1
     # Gentleman-Sande with the x < 2q lazy invariant: sums reduced once,
-    # differences fed to the lazy Montgomery product as (u − v + 2q) < 4q.
+    # differences fed to the lazy Shoup product as (u − v + 2q) < 4q.
     for s in range(logn - 1, -1, -1):
         t = n // (2 << s)
-        wm = _stage_tw(n, s, packed, planes_ref[0])
+        w = _stage_tw(n, s, pw, lw_ref[0])
+        wsh = _stage_tw(n, s, psh, lsh_ref[0])
         is_u = _is_u_mask(n, t)
         hi = _roll(x, -1, t)
         lo = _roll(x, 1, t)
         u_new = x + hi                                     # < 4q
         u_new = jnp.where(u_new >= two_q, u_new - two_q, u_new)
-        v_new = _mul_mont_lazy(lo + (two_q - x), wm, q, qinv_neg)
+        v_new = _mul_shoup_lazy(lo + (two_q - x), w, wsh, q)
         x = jnp.where(is_u, u_new, v_new)                  # < 2q
-    ninv_m = jnp.broadcast_to(ninv_ref[i, 0], x.shape)
-    out_ref[0, 0] = _mul_mont(x, ninv_m, q, qinv_neg)
+    ninv = jnp.broadcast_to(ninv_ref[i, 0], x.shape)
+    ninvsh = jnp.broadcast_to(ninvsh_ref[i, 0], x.shape)
+    out_ref[0, 0] = _mul_shoup(x, ninv, ninvsh, q)
 
 
 # --------------------------------------------------------------------------
@@ -262,7 +249,7 @@ def _tblk(shape_tail):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def pallas_fwd_ntt(a, q, qinv_neg, packed, planes, *, n: int,
+def pallas_fwd_ntt(a, q, pw, psh, lw, lsh, *, n: int,
                    interpret: bool = False):
     """Forward negacyclic NTT of [..., L, n]; tables from get_tables()."""
     B, L, sub, a4, q2 = _prep(a, q, n)
@@ -270,18 +257,18 @@ def pallas_fwd_ntt(a, q, qinv_neg, packed, planes, *, n: int,
         functools.partial(_fwd_kernel, n),
         grid=(L, B),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _xblk(sub), _tblk((sub, LANE)),
+                  _xblk(sub), _tblk((sub, LANE)), _tblk((sub, LANE)),
+                  _tblk((LANE_STAGES, sub, LANE)),
                   _tblk((LANE_STAGES, sub, LANE))],
         out_specs=_xblk(sub),
         out_shape=jax.ShapeDtypeStruct((B, L, sub, LANE), jnp.uint32),
         interpret=interpret,
-    )(q2, jnp.asarray(qinv_neg).reshape(L, 1), a4, packed, planes)
+    )(q2, a4, pw, psh, lw, lsh)
     return out.reshape(a.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def pallas_inv_ntt(a, q, qinv_neg, packed, planes, ninv_mont, *, n: int,
+def pallas_inv_ntt(a, q, pw, psh, lw, lsh, ninv, ninv_sh, *, n: int,
                    interpret: bool = False):
     """Inverse negacyclic NTT of [..., L, n]."""
     B, L, sub, a4, q2 = _prep(a, q, n)
@@ -289,36 +276,39 @@ def pallas_inv_ntt(a, q, qinv_neg, packed, planes, ninv_mont, *, n: int,
         functools.partial(_inv_kernel, n),
         grid=(L, B),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _xblk(sub), _tblk((sub, LANE)),
+                  _xblk(sub), _tblk((sub, LANE)), _tblk((sub, LANE)),
                   _tblk((LANE_STAGES, sub, LANE)),
+                  _tblk((LANE_STAGES, sub, LANE)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=_xblk(sub),
         out_shape=jax.ShapeDtypeStruct((B, L, sub, LANE), jnp.uint32),
         interpret=interpret,
-    )(q2, jnp.asarray(qinv_neg).reshape(L, 1), a4, packed, planes,
-      jnp.asarray(ninv_mont).reshape(L, 1))
+    )(q2, a4, pw, psh, lw, lsh,
+      jnp.asarray(ninv).reshape(L, 1), jnp.asarray(ninv_sh).reshape(L, 1))
     return out.reshape(a.shape)
 
 
 class NttKernels:
     """Bound Pallas transforms for one NttContext (tables cached on device).
 
-    Drop-in replacements for NttContext.fwd/.inv with identical outputs
-    (Montgomery REDC is exact). Attached by NttContext._attach_pallas on
-    the TPU backend.
+    Drop-in replacements for NttContext.fwd/.inv with identical outputs.
+    Attached by NttContext._attach_pallas on the TPU backend.
     """
 
     def __init__(self, ctx):
-        fp, fl, ip, il, qinv, ninv_m = get_tables(ctx)
+        (fpw, fps, flw, fls, ipw, ips, ilw, ils,
+         ninv, ninv_sh) = get_tables(ctx)
         self.n = ctx.n
         host = getattr(ctx, "host_tables", None)
         q_np = host["q"] if host else np.asarray(ctx.q)
         self.q = jnp.asarray(q_np.astype(np.uint32).reshape(-1))
-        self.qinv = jnp.asarray(qinv)
-        self.fp, self.fl = jnp.asarray(fp), jnp.asarray(fl)
-        self.ip, self.il = jnp.asarray(ip), jnp.asarray(il)
-        self.ninv_m = jnp.asarray(ninv_m)
+        self.fpw, self.fps = jnp.asarray(fpw), jnp.asarray(fps)
+        self.flw, self.fls = jnp.asarray(flw), jnp.asarray(fls)
+        self.ipw, self.ips = jnp.asarray(ipw), jnp.asarray(ips)
+        self.ilw, self.ils = jnp.asarray(ilw), jnp.asarray(ils)
+        self.ninv = jnp.asarray(ninv)
+        self.ninv_sh = jnp.asarray(ninv_sh)
 
     def sliced(self, rows) -> "NttKernels":
         """Kernels restricted to the given limb rows, sharing (slicing) this
@@ -327,14 +317,15 @@ class NttKernels:
         idx = np.asarray(list(rows), dtype=np.int64)
         view = object.__new__(NttKernels)
         view.n = self.n
-        for name in ("q", "qinv", "fp", "fl", "ip", "il", "ninv_m"):
+        for name in ("q", "fpw", "fps", "flw", "fls", "ipw", "ips",
+                     "ilw", "ils", "ninv", "ninv_sh"):
             setattr(view, name, getattr(self, name)[idx])
         return view
 
     def fwd(self, a):
-        return pallas_fwd_ntt(a, self.q, self.qinv, self.fp, self.fl,
-                              n=self.n)
+        return pallas_fwd_ntt(a, self.q, self.fpw, self.fps, self.flw,
+                              self.fls, n=self.n)
 
     def inv(self, a):
-        return pallas_inv_ntt(a, self.q, self.qinv, self.ip, self.il,
-                              self.ninv_m, n=self.n)
+        return pallas_inv_ntt(a, self.q, self.ipw, self.ips, self.ilw,
+                              self.ils, self.ninv, self.ninv_sh, n=self.n)

@@ -30,14 +30,18 @@ def _rand(moduli, n, batch=(), seed=0):
                         dtype=np.uint64).astype(np.uint32)
 
 
+def _args(ctx, moduli):
+    tabs = pn.get_tables(ctx)
+    q = jnp.asarray(np.asarray(moduli, dtype=np.uint32))
+    return q, [jnp.asarray(t) for t in tabs]
+
+
 @pytest.mark.parametrize("n", [256, 2048])
 def test_fwd_matches_stage_loop(n):
     ctx, moduli = _ctx(n)
     a = _rand(moduli, n)
-    fp, fl, ip, il, qinv, ninv_m = pn.get_tables(ctx)
-    q = jnp.asarray(np.asarray(moduli, dtype=np.uint32))
-    got = pn.pallas_fwd_ntt(jnp.asarray(a), q, jnp.asarray(qinv),
-                            jnp.asarray(fp), jnp.asarray(fl), n=n,
+    q, (fpw, fps, flw, fls, *_rest) = _args(ctx, moduli)
+    got = pn.pallas_fwd_ntt(jnp.asarray(a), q, fpw, fps, flw, fls, n=n,
                             interpret=True)
     want = ctx.fwd(jnp.asarray(a))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
@@ -47,25 +51,32 @@ def test_fwd_matches_stage_loop(n):
 def test_inv_roundtrip(n):
     ctx, moduli = _ctx(n)
     a = _rand(moduli, n, seed=1)
-    fp, fl, ip, il, qinv, ninv_m = pn.get_tables(ctx)
-    q = jnp.asarray(np.asarray(moduli, dtype=np.uint32))
-    f = pn.pallas_fwd_ntt(jnp.asarray(a), q, jnp.asarray(qinv),
-                          jnp.asarray(fp), jnp.asarray(fl), n=n,
+    q, (fpw, fps, flw, fls, ipw, ips, ilw, ils, ninv, ninv_sh) = \
+        _args(ctx, moduli)
+    f = pn.pallas_fwd_ntt(jnp.asarray(a), q, fpw, fps, flw, fls, n=n,
                           interpret=True)
-    back = pn.pallas_inv_ntt(f, q, jnp.asarray(qinv), jnp.asarray(ip),
-                             jnp.asarray(il), jnp.asarray(ninv_m), n=n,
+    back = pn.pallas_inv_ntt(f, q, ipw, ips, ilw, ils, ninv, ninv_sh, n=n,
                              interpret=True)
     np.testing.assert_array_equal(np.asarray(back), a)
+
+
+def test_inv_matches_stage_loop():
+    n = 256
+    ctx, moduli = _ctx(n)
+    a = _rand(moduli, n, seed=3)
+    q, (_, _, _, _, ipw, ips, ilw, ils, ninv, ninv_sh) = _args(ctx, moduli)
+    got = pn.pallas_inv_ntt(jnp.asarray(a), q, ipw, ips, ilw, ils, ninv,
+                            ninv_sh, n=n, interpret=True)
+    want = ctx.inv(jnp.asarray(a))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_batched_rows():
     n = 256
     ctx, moduli = _ctx(n, L=3)
     a = _rand(moduli, n, batch=(2, 2), seed=2)
-    fp, fl, ip, il, qinv, ninv_m = pn.get_tables(ctx)
-    q = jnp.asarray(np.asarray(moduli, dtype=np.uint32))
-    got = pn.pallas_fwd_ntt(jnp.asarray(a), q, jnp.asarray(qinv),
-                            jnp.asarray(fp), jnp.asarray(fl), n=n,
+    q, (fpw, fps, flw, fls, *_rest) = _args(ctx, moduli)
+    got = pn.pallas_fwd_ntt(jnp.asarray(a), q, fpw, fps, flw, fls, n=n,
                             interpret=True)
     want = ctx.fwd(jnp.asarray(a))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
