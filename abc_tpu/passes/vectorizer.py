@@ -169,6 +169,29 @@ def _emit_template(norm_by_slot: Dict[int, tuple], slots: List[int]) -> Abstract
     return build(const_columns, first)
 
 
+def _flatten_chain(expr: AbstractExpression,
+                   ops: tuple) -> Optional[List[AbstractExpression]]:
+    """Operand list of a same-family binary chain, or None if expr's root
+    is not in the family."""
+    if not (isinstance(expr, BinaryExpression) and expr.operator.op in ops):
+        return None
+    out: List[AbstractExpression] = []
+
+    def walk(e: AbstractExpression) -> None:
+        if isinstance(e, BinaryExpression) and e.operator.op in ops:
+            walk(e.left)
+            walk(e.right)
+        else:
+            out.append(e)
+
+    walk(expr)
+    return out
+
+
+def _root_op(expr: AbstractExpression) -> Op:
+    return expr.operator.op
+
+
 def _next_pow2(x: int) -> int:
     p = 1
     while p < x:
@@ -208,6 +231,10 @@ class AuxiliaryInformation:
     valid_slots: Dict[str, int] = field(default_factory=dict)
     # variable → slot holding the scalar result of a reduction
     result_slot: Dict[str, int] = field(default_factory=dict)
+    # fresh packed input → the scalar sources packed into its slots
+    # (ref: the expectedAuxiliary strings of DISABLED_batchableExpression,
+    # VectorizerTest.cpp:434-484: "__input0__ = {a,c}")
+    input_packings: Dict[str, List[object]] = field(default_factory=dict)
     batched_statements: int = 0
 
 
@@ -216,6 +243,7 @@ class Vectorizer:
 
     def __init__(self) -> None:
         self.aux = AuxiliaryInformation()
+        self._fresh = 0
 
     # --- public -----------------------------------------------------------
     def run(self, block: Block) -> None:
@@ -299,8 +327,12 @@ class Vectorizer:
                         handled = True
                     else:
                         flush_all()
-                        literal_values[name] = stmt.value.value \
-                            if isinstance(stmt.value, Literal) else None
+                        if self._try_scalar_products(stmt, pos, replacement):
+                            literal_values[name] = None
+                            handled = True
+                        else:
+                            literal_values[name] = stmt.value.value \
+                                if isinstance(stmt.value, Literal) else None
             elif isinstance(stmt, VariableDeclaration):
                 if reduction is not None or slot_plans:
                     flush_all()
@@ -475,6 +507,80 @@ class Vectorizer:
         self._replace(plan.statement_positions, stmts, replacement)
         self.aux.result_slot[target] = 0
         self.aux.batched_statements += len(plan.statement_positions)
+
+    # --- scalar expression batching (the ExpressionBatcher spec) --------------
+    def _try_scalar_products(self, stmt: Assignment, pos: int,
+                             replacement: List[Optional[object]]) -> bool:
+        """Batch `x = (a∘b) + (c∘d) + …`: pack the k-th factor of every term
+        into a fresh `__inputN__` vector, multiply the packed vectors
+        elementwise, and rotate-reduce the terms — the reference's
+        DISABLED_batchableExpression spec (VectorizerTest.cpp:434-484) and
+        the ExpressionBatcher computation-tree pattern
+        (ExpressionBatcher.cpp:306-323).
+
+        Packing declarations are emitted in-program as ExpressionLists of
+        the scalar variables (executable when the scalars are plain; for
+        secret scalars the aux input_packings report is the client-side
+        packing instruction, as the reference intends)."""
+        terms = _flatten_chain(stmt.value, (Op.ADD, Op.FHE_ADD))
+        if terms is None or len(terms) < 2:
+            return False
+        add_op = Operator(_root_op(stmt.value)).as_plain()
+        factor_lists = []
+        mul_op = None
+        for t in terms:
+            if isinstance(t, Variable):
+                factor_lists.append([t])
+                continue
+            facs = _flatten_chain(t, (Op.MUL, Op.FHE_MUL))
+            if facs is None or not all(isinstance(f, Variable) for f in facs):
+                return False
+            mul_op = mul_op or Operator(_root_op(t)).as_plain()
+            factor_lists.append(facs)
+        F = len(factor_lists[0])
+        if F < 2:        # sums of bare scalars: not worth a ciphertext
+            return False
+        if any(len(f) != F for f in factor_lists) or \
+                not all(isinstance(f, Variable) for fs in factor_lists
+                        for f in fs):
+            return False
+        target = stmt.target.identifier
+        leaves = {f.identifier for fs in factor_lists for f in fs}
+        if target in leaves:
+            return False
+
+        K = len(terms)
+        Kp = _next_pow2(K)
+        from abc_tpu.utils.datatype import Datatype, Type
+        stmts: List[object] = []
+        packed_names = []
+        for f in range(F):
+            nm = f"__input{self._fresh}__"
+            self._fresh += 1
+            packed_names.append(nm)
+            col = [factor_lists[k][f].identifier for k in range(K)]
+            pad = [0] * (Kp - K)
+            self.aux.input_packings[nm] = col + pad
+            elems = [Variable(c) for c in col] + [LiteralInt(0) for _ in pad]
+            stmts.append(VariableDeclaration(Datatype(Type.INT),
+                                             Variable(nm),
+                                             ExpressionList(elems)))
+        prod: AbstractExpression = Variable(packed_names[0])
+        for nm in packed_names[1:]:
+            prod = BinaryExpression(prod, mul_op or Operator(Op.MUL),
+                                    Variable(nm))
+        stmts.append(Assignment(Variable(target), prod))
+        half = Kp // 2
+        while half >= 1:
+            stmts.append(Assignment(
+                Variable(target),
+                BinaryExpression(Variable(target), add_op,
+                                 _rotate(Variable(target), half))))
+            half //= 2
+        self._replace([pos], stmts, replacement)
+        self.aux.result_slot[target] = 0
+        self.aux.batched_statements += 1
+        return True
 
     @staticmethod
     def _replace(positions: List[int], new_stmts: List[Assignment],

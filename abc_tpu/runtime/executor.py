@@ -357,9 +357,18 @@ class RuntimeVisitor:
         if len(expr.arguments) != 2:
             raise RuntimeExecutionError("rotate requires (ciphertext, steps)")
         ctxt = self._eval(expr.arguments[0])
+        steps = self._eval_scalar_int(expr.arguments[1], "rotate() steps")
+        if isinstance(ctxt, Cleartext):
+            # plain vector rotation (the batching passes emit rotate() on
+            # packed PLAIN inputs too; the reference only supports the
+            # ciphertext case, RuntimeVisitor.cpp:128-159)
+            vals = list(ctxt.values)
+            if vals and not ctxt.all_equal():
+                s = steps % len(vals)
+                vals = vals[s:] + vals[:s]
+            return Cleartext(vals, ctxt.dtype)
         if not isinstance(ctxt, AbstractCiphertext):
             raise RuntimeExecutionError("rotate() requires a ciphertext argument")
-        steps = self._eval_scalar_int(expr.arguments[1], "rotate() steps")
         return ctxt.rotate_rows(steps)
 
     def _eval_scalar_int(self, expr, what: str) -> int:

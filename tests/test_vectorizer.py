@@ -154,3 +154,63 @@ def test_pipeline_dot_product_batched():
     factory = DummyCiphertextFactory(64)
     rv, pairs = run_compiled(compiled, inputs, Parser.parse("d = sum;"), factory)
     assert factory.decrypt(pairs[0][1])[0] == 7 * 1 + 2 * 3 + 0 * 4 + 5 * 2
+
+
+# ------------------------------------------------------- ExpressionBatcher
+
+def test_batchable_expression_spec():
+    """The reference's DISABLED_batchableExpression (VectorizerTest.cpp:434):
+    x = (a*b) + (c*d) packs factor columns into fresh inputs and
+    rotate-reduces — one ct multiply + one rotation."""
+    from abc_tpu.passes.printer import program_to_string
+    ast = Parser.parse("x = (a*b) + (c*d);")
+    from abc_tpu.passes.vectorizer import Vectorizer
+    v = Vectorizer()
+    v.run(ast)
+    from abc_tpu.passes.vectorizer import _expand_groups
+    _expand_groups(ast)
+    text = program_to_string(ast)
+    assert "int __input0__ = {a, c};" in text
+    assert "int __input1__ = {b, d};" in text
+    assert "x = (__input0__ * __input1__);" in text
+    assert "x = (x + rotate(x, 1));" in text
+    assert v.aux.input_packings == {"__input0__": ["a", "c"],
+                                    "__input1__": ["b", "d"]}
+    assert v.aux.result_slot["x"] == 0
+
+
+def test_batchable_expression_executes_on_dummy():
+    """Non-power-of-two term count: zero-padded reduce, slot 0 correct."""
+    inputs = Parser.parse(
+        "int a = 3; int b = 4; int c = 5; int d = 6; int e = 7; int f = 2;")
+    compiled = compile_program("int y = 0; y = a*b + c*d + e*f;",
+                               input_types_from_ast(inputs),
+                               CompileOptions(vectorize=True))
+    assert "rotate" in str(compiled.ast)
+    factory = DummyCiphertextFactory(16)
+    rv, pairs = run_compiled(compiled, inputs, Parser.parse("out = y;"),
+                             factory)
+    vals = pairs[0][1].values
+    assert int(vals[0]) == 3 * 4 + 5 * 6 + 7 * 2
+
+
+def test_scalar_sum_without_products_untouched():
+    ast = Parser.parse("y = a + b + c;")
+    from abc_tpu.passes.vectorizer import Vectorizer
+    v = Vectorizer()
+    v.run(ast)
+    from abc_tpu.passes.vectorizer import _expand_groups
+    _expand_groups(ast)
+    from abc_tpu.passes.printer import program_to_string
+    assert "rotate" not in program_to_string(ast)
+
+
+def test_target_among_leaves_untouched():
+    ast = Parser.parse("r = r*s + t*u;")
+    from abc_tpu.passes.vectorizer import Vectorizer
+    v = Vectorizer()
+    v.run(ast)
+    from abc_tpu.passes.vectorizer import _expand_groups
+    _expand_groups(ast)
+    from abc_tpu.passes.printer import program_to_string
+    assert "__input" not in program_to_string(ast)
