@@ -192,6 +192,34 @@ def _root_op(expr: AbstractExpression) -> Op:
     return expr.operator.op
 
 
+def _flatten_norm_sum(norm: tuple):
+    """Flatten a normalized ("bin", +) chain → (op_str, [term tuples])."""
+    if norm[0] != "bin" or norm[1] not in ("+", "+++"):
+        return None
+    op_str = norm[1]
+    out: List[tuple] = []
+
+    def walk(t: tuple) -> None:
+        if t[0] == "bin" and t[1] == op_str:
+            walk(t[2])
+            walk(t[3])
+        else:
+            out.append(t)
+
+    walk(norm)
+    return op_str, out
+
+
+def _parse_norm_product(t: tuple):
+    """("bin", *, (rot,n1,d1), (rot,n2,d2)) → (op_str, (n1,d1), (n2,d2))."""
+    if t[0] != "bin" or t[1] not in ("*", "***"):
+        return None
+    l, r = t[2], t[3]
+    if l[0] != "rot" or r[0] != "rot":
+        return None
+    return t[1], (l[1], l[2]), (r[1], r[2])
+
+
 def _next_pow2(x: int) -> int:
     p = 1
     while p < x:
@@ -235,6 +263,10 @@ class AuxiliaryInformation:
     # (ref: the expectedAuxiliary strings of DISABLED_batchableExpression,
     # VectorizerTest.cpp:434-484: "__input0__ = {a,c}")
     input_packings: Dict[str, List[object]] = field(default_factory=dict)
+    # matvec results land at slots stride·s (DISABLED_matrixVectorTest)
+    result_stride: Dict[str, int] = field(default_factory=dict)
+    # variable → first slot index that MUST be zero-padded by the client
+    required_zero_tail: Dict[str, int] = field(default_factory=dict)
     batched_statements: int = 0
 
 
@@ -395,6 +427,9 @@ class Vectorizer:
         base_slots = groups[base_key]
         outliers = [s for s in slots if s not in base_slots]
 
+        if len(base_slots) < 2 and self._try_matvec_plan(plan, replacement):
+            return  # per-slot templates differ: the matvec pattern matched
+
         # outliers must be pure literals (the singleOutlier spec)
         if any(plan.slots[s][0] != "const" for s in outliers):
             return
@@ -507,6 +542,109 @@ class Vectorizer:
         self._replace(plan.statement_positions, stmts, replacement)
         self.aux.result_slot[target] = 0
         self.aux.batched_statements += len(plan.statement_positions)
+
+    # --- matvec batching (the matrixVectorTest spec) ---------------------------
+    def _try_matvec_plan(self, plan: SlotPlan,
+                         replacement: List[Optional[object]]) -> bool:
+        """Batch  c[s] = Σ_j a[T·s+j]·b[j]  (flattened row-major matrix ×
+        vector) into the reference's DISABLED_matrixVectorTest form
+        (VectorizerTest.cpp:370-423):
+
+            c = a ∘ b
+            c = c + a ∘ rotate(b, −T)        (output row 1's window)
+            …                                 (one statement per row)
+            [group rotate-reduce]             (completing the WIP spec)
+
+        REQUIRES b's slots ≥ T to be ZERO (the spec's stated assumption) —
+        recorded in aux.required_zero_tail for the client. Results land at
+        slots T·s (aux.result_stride)."""
+        slots = sorted(plan.slots)
+        S = len(slots)
+        if S < 2 or slots != list(range(S)):
+            return False
+        a_name = b_name = None
+        add_str = mul_str = None
+        layout: Dict[int, Dict[int, int]] = {}     # slot → {j: a_abs_index}
+        for s in slots:
+            flat = _flatten_norm_sum(plan.slots[s])
+            if flat is None:
+                return False
+            add_str, terms = flat
+            parsed = []
+            for t in terms:
+                pt = _parse_norm_product(t)
+                if pt is None:
+                    return False
+                mul_str = pt[0]
+                parsed.append(pt)
+            # decide roles: B's absolute index must equal its term position
+            entries = []
+            for (mstr, (n1, d1), (n2, d2)) in parsed:
+                entries.append(((n1, d1 + s), (n2, d2 + s)))
+            # try both role assignments consistently
+            for flip in (False, True):
+                a_c = {e[1 if flip else 0][0] for e in entries}
+                b_c = {e[0 if flip else 1][0] for e in entries}
+                if len(a_c) == 1 and len(b_c) == 1 and a_c != b_c:
+                    b_abs = sorted(e[0 if flip else 1][1] for e in entries)
+                    if b_abs == list(range(len(entries))):
+                        a_name = a_name or next(iter(a_c))
+                        b_name = b_name or next(iter(b_c))
+                        if a_c != {a_name} or b_c != {b_name}:
+                            return False
+                        layout[s] = {e[0 if flip else 1][1]:
+                                     e[1 if flip else 0][1] for e in entries}
+                        break
+            else:
+                return False
+        T = len(layout[0])
+        if any(len(m) != T for m in layout.values()):
+            return False
+        for s in slots:
+            for j, a_abs in layout[s].items():
+                if a_abs != T * s + j:
+                    return False
+        if plan.target in (a_name, b_name):
+            return False
+
+        add_op = Operator(Op.FHE_ADD if add_str == "+++" else Op.ADD)
+        mul_op = Operator(Op.FHE_MUL if mul_str == "***" else Op.MUL)
+        target = plan.target
+        stmts: List[Assignment] = []
+        first = BinaryExpression(Variable(a_name), mul_op, Variable(b_name))
+        stmts.append(Assignment(Variable(target), first))
+        for k in range(1, S):
+            term = BinaryExpression(Variable(a_name), mul_op,
+                                    _rotate(Variable(b_name), -T * k))
+            stmts.append(Assignment(
+                Variable(target),
+                BinaryExpression(Variable(target), add_op, term)))
+        # group reduction: sum each window of T (valid at slots T·s)
+        if T & (T - 1) == 0:
+            half = T // 2
+            while half >= 1:
+                stmts.append(Assignment(
+                    Variable(target),
+                    BinaryExpression(Variable(target), add_op,
+                                     _rotate(Variable(target), half))))
+                half //= 2
+        else:
+            from abc_tpu.utils.datatype import Datatype, Type
+            tmp = f"__mv{self._fresh}__"
+            self._fresh += 1
+            stmts.append(VariableDeclaration(Datatype(Type.INT),
+                                             Variable(tmp), Variable(target)))
+            for d in range(1, T):
+                stmts.append(Assignment(
+                    Variable(target),
+                    BinaryExpression(Variable(target), add_op,
+                                     _rotate(Variable(tmp), d))))
+        self._replace(plan.statement_positions, stmts, replacement)
+        self.aux.result_stride[target] = T
+        self.aux.valid_slots[target] = S * T
+        self.aux.required_zero_tail[b_name] = T
+        self.aux.batched_statements += len(plan.statement_positions)
+        return True
 
     # --- scalar expression batching (the ExpressionBatcher spec) --------------
     def _try_scalar_products(self, stmt: Assignment, pos: int,

@@ -214,3 +214,53 @@ def test_target_among_leaves_untouched():
     _expand_groups(ast)
     from abc_tpu.passes.printer import program_to_string
     assert "__input" not in program_to_string(ast)
+
+
+# --------------------------------------------------------------- matvec spec
+
+def test_matrix_vector_spec():
+    """The reference's DISABLED_matrixVectorTest (VectorizerTest.cpp:370):
+    flattened row-major matvec → b-rotation form + group reduce."""
+    src = """
+      c[0] = a[0]*b[0] + a[1]*b[1] + a[2]*b[2];
+      c[1] = a[3]*b[0] + a[4]*b[1] + a[5]*b[2];
+      c[2] = a[6]*b[0] + a[7]*b[1] + a[8]*b[2];
+    """
+    out = vectorize_str(src)
+    assert "c = (a * b);" in out
+    assert "c = (c + (a * rotate(b, -3)));" in out
+    assert "c = (c + (a * rotate(b, -6)));" in out
+
+
+def test_matrix_vector_executes_on_dummy():
+    mat = [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    vec = [2, -1, 3]
+    flat = ", ".join(str(v) for row in mat for v in row)
+    inputs = Parser.parse(
+        f"int a = {{{flat}}};"
+        f"int b = {{{vec[0]}, {vec[1]}, {vec[2]}, 0, 0, 0, 0, 0, 0}};")
+    program = """
+      int c = 0;
+      c[0] = a[0]*b[0] + a[1]*b[1] + a[2]*b[2];
+      c[1] = a[3]*b[0] + a[4]*b[1] + a[5]*b[2];
+      c[2] = a[6]*b[0] + a[7]*b[1] + a[8]*b[2];
+    """
+    compiled = compile_program(program, input_types_from_ast(inputs),
+                               CompileOptions(vectorize=True))
+    assert "rotate" in str(compiled.ast)
+    factory = DummyCiphertextFactory(32)
+    rv, pairs = run_compiled(compiled, inputs, Parser.parse("out = c;"),
+                             factory)
+    vals = pairs[0][1].values
+    expected = [sum(mat[i][j] * vec[j] for j in range(3)) for i in range(3)]
+    got = [int(vals[3 * i]) for i in range(3)]   # results at stride-3 slots
+    assert got == expected, (got, expected)
+
+
+def test_matvec_pattern_rejected_on_wrong_stride():
+    src = """
+      c[0] = a[0]*b[0] + a[1]*b[1];
+      c[1] = a[5]*b[0] + a[6]*b[1];
+    """
+    out = vectorize_str(src)
+    assert "rotate" not in out   # stride 5 != term count 2: untouched
