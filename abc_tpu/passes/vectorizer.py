@@ -11,6 +11,11 @@ executable spec (VectorizerTest.cpp:7-260):
   * singleOutlierVector:       literal outlier           ⇒ mask-mult + add
   * sumStatements*:            accumulation chains       ⇒ rotate-reduce
                                (ExpressionBatcher.cpp:306-323 pattern)
+  * matrixVectorTest:          flattened matvec          ⇒ b-rotation form
+  * batchableExpression:       x=(a*b)+(c*d)             ⇒ packed columns
+  * batchableExpressionVectorizable: per-slot products   ⇒ one packed plan
+  * cardioTest(+Simplified/MegaExpression): guarded-comparison chains
+                               ⇒ flags***(lhs>rhs) + affine corrections
 
 Algorithm implemented here:
   1. Scan a straight-line Block (post-unroll, literal indices).
@@ -220,6 +225,109 @@ def _parse_norm_product(t: tuple):
     return t[1], (l[1], l[2]), (r[1], r[2])
 
 
+def _flatten_norm_product(t: tuple):
+    """Flatten a normalized ("bin", *) chain → (op_str, [factor tuples])."""
+    if t[0] != "bin" or t[1] not in ("*", "***"):
+        return None
+    op_str = t[1]
+    out: List[tuple] = []
+
+    def walk(x: tuple) -> None:
+        if x[0] == "bin" and x[1] == op_str:
+            walk(x[2])
+            walk(x[3])
+        else:
+            out.append(x)
+
+    walk(t)
+    return op_str, out
+
+
+# ---------------------------------------------------------------------------
+# condition terms (the cardio packing specs)
+# ---------------------------------------------------------------------------
+# A condition term is  flag && (lhs > rhs)  /  (lhs > rhs)  /  bare flag,
+# where each comparison side is a variable, an int literal, or var ± const.
+# Sides are parsed to (elem, delta): elem = ("var", name) | ("const", v).
+
+
+def _parse_cond_side(e: AbstractExpression):
+    if isinstance(e, Literal) and isinstance(e.value, int):
+        return (("const", int(e.value)), 0)
+    if isinstance(e, Variable):
+        return (("var", e.identifier), 0)
+    if isinstance(e, BinaryExpression):
+        op = e.operator.as_plain().op
+        if op not in (Op.ADD, Op.SUB):
+            return None
+        l, r = e.left, e.right
+        if isinstance(l, Variable) and isinstance(r, Literal) \
+                and isinstance(r.value, int):
+            return (("var", l.identifier),
+                    int(r.value) if op == Op.ADD else -int(r.value))
+        if op == Op.ADD and isinstance(l, Literal) \
+                and isinstance(l.value, int) and isinstance(r, Variable):
+            return (("var", r.identifier), int(l.value))
+    return None
+
+
+def _parse_comparison(e: AbstractExpression):
+    """Normalize a > b / a < b to GREATER orientation → (lhs, rhs) sides."""
+    if not isinstance(e, BinaryExpression):
+        return None
+    if e.operator.op == Op.GREATER:
+        l, r = e.left, e.right
+    elif e.operator.op == Op.LESS:
+        l, r = e.right, e.left
+    else:
+        return None
+    ls, rs = _parse_cond_side(l), _parse_cond_side(r)
+    if ls is None or rs is None:
+        return None
+    return ls, rs
+
+
+_TRIVIAL_SIDES = ((("const", 1), 0), (("const", 0), 0))
+
+
+def _parse_condition_term(e: AbstractExpression):
+    """→ (flag_elem, (lhs_elem, ldelta), (rhs_elem, rdelta)) or None.
+    Bare flags become  flag && (1 > 0)."""
+    if isinstance(e, Variable):
+        return (("var", e.identifier), *_TRIVIAL_SIDES)
+    if isinstance(e, Literal) and isinstance(e.value, int):
+        return (("const", int(e.value)), *_TRIVIAL_SIDES)
+    cmp = _parse_comparison(e)
+    if cmp is not None:
+        return (("const", 1), cmp[0], cmp[1])
+    if isinstance(e, BinaryExpression) and \
+            e.operator.op in (Op.LOGICAL_AND, Op.MUL, Op.FHE_MUL):
+        for flag_side, cmp_side in ((e.left, e.right), (e.right, e.left)):
+            if isinstance(flag_side, Variable):
+                flag = ("var", flag_side.identifier)
+            elif isinstance(flag_side, Literal) and \
+                    isinstance(flag_side.value, int):
+                flag = ("const", int(flag_side.value))
+            else:
+                continue
+            c = _parse_comparison(cmp_side)
+            if c is not None:
+                return (flag, c[0], c[1])
+    return None
+
+
+def _is_real_comparison(term: tuple) -> bool:
+    return (term[1], term[2]) != _TRIVIAL_SIDES
+
+
+def _cond_term_reads(term: tuple) -> set:
+    out = set()
+    for elem in (term[0], term[1][0], term[2][0]):
+        if elem[0] == "var":
+            out.add(elem[1])
+    return out
+
+
 def _next_pow2(x: int) -> int:
     p = 1
     while p < x:
@@ -249,6 +357,15 @@ class ReductionPlan:
     target: str
     op: Op
     entries: List[tuple] = field(default_factory=list)      # normalized E_j
+    statement_positions: List[int] = field(default_factory=list)
+
+
+@dataclass
+class ConditionPlan:
+    """Accumulation chain of heterogeneous guarded comparisons
+    (the cardioTest specs, VectorizerTest.cpp:225-368)."""
+    target: str
+    entries: List[tuple] = field(default_factory=list)      # condition terms
     statement_positions: List[int] = field(default_factory=list)
 
 
@@ -293,6 +410,7 @@ class Vectorizer:
         slot_plans: Dict[str, SlotPlan] = {}
         literal_values: Dict[str, Optional[int]] = {}
         reduction: Optional[ReductionPlan] = None
+        cond_plan: Optional[ConditionPlan] = None
 
         def flush_slot_plan(name: str) -> None:
             plan = slot_plans.pop(name, None)
@@ -307,8 +425,18 @@ class Vectorizer:
                 literal_values[reduction.target] = None
                 reduction = None
 
+        def flush_cond() -> None:
+            nonlocal cond_plan
+            if cond_plan is not None:
+                self._emit_condition_chain(
+                    cond_plan, replacement,
+                    literal_values.get(cond_plan.target))
+                literal_values[cond_plan.target] = None
+                cond_plan = None
+
         def flush_all() -> None:
             flush_reduction()
+            flush_cond()
             for name in list(slot_plans):
                 flush_slot_plan(name)
 
@@ -322,6 +450,7 @@ class Vectorizer:
                         isinstance(target.index, Literal) and \
                         isinstance(target.index.value, int):
                     flush_reduction()
+                    flush_cond()
                     name = target.target.identifier
                     norm = normalize(stmt.value, target.index.value)
                     if norm is not None:
@@ -349,6 +478,7 @@ class Vectorizer:
                             flush_slot_plan(r)
                     if acc is not None:
                         op, norm_entry = acc
+                        flush_cond()
                         if reduction is not None and (
                                 reduction.target != name or reduction.op != op):
                             flush_reduction()
@@ -358,13 +488,30 @@ class Vectorizer:
                         reduction.statement_positions.append(pos)
                         handled = True
                     else:
-                        flush_all()
-                        if self._try_scalar_products(stmt, pos, replacement):
-                            literal_values[name] = None
+                        cterm = self._match_cond_accumulation(stmt, name)
+                        if cterm is not None:
+                            flush_reduction()
+                            if cond_plan is not None and \
+                                    cond_plan.target != name:
+                                flush_cond()
+                            for r in _cond_term_reads(cterm):
+                                flush_slot_plan(r)
+                            if cond_plan is None:
+                                cond_plan = ConditionPlan(name)
+                            cond_plan.entries.append(cterm)
+                            cond_plan.statement_positions.append(pos)
                             handled = True
                         else:
-                            literal_values[name] = stmt.value.value \
-                                if isinstance(stmt.value, Literal) else None
+                            flush_all()
+                            if self._try_scalar_products(stmt, pos,
+                                                         replacement) or \
+                                    self._try_condition_packing(stmt, pos,
+                                                                replacement):
+                                literal_values[name] = None
+                                handled = True
+                            else:
+                                literal_values[name] = stmt.value.value \
+                                    if isinstance(stmt.value, Literal) else None
             elif isinstance(stmt, VariableDeclaration):
                 if reduction is not None or slot_plans:
                     flush_all()
@@ -411,6 +558,26 @@ class Vectorizer:
         # deltas by construction; record the slot inside the entry
         return (v.operator.op, (slot, norm))
 
+    @staticmethod
+    def _match_cond_accumulation(stmt: Assignment, name: str
+                                 ) -> Optional[tuple]:
+        """Match `risk = risk +++ <condition term>` (the cardioTest chain,
+        VectorizerTest.cpp:225-306). Returns the parsed condition term."""
+        v = stmt.value
+        if not isinstance(v, BinaryExpression) or \
+                v.operator.as_plain().op != Op.ADD:
+            return None
+        if isinstance(v.left, Variable) and v.left.identifier == name:
+            e = v.right
+        elif isinstance(v.right, Variable) and v.right.identifier == name:
+            e = v.left
+        else:
+            return None
+        term = _parse_condition_term(e)
+        if term is None or name in _cond_term_reads(term):
+            return None
+        return term
+
     # --- emission --------------------------------------------------------------
     def _emit_slot_plan(self, plan: SlotPlan,
                         replacement: List[Optional[object]]) -> None:
@@ -427,8 +594,12 @@ class Vectorizer:
         base_slots = groups[base_key]
         outliers = [s for s in slots if s not in base_slots]
 
-        if len(base_slots) < 2 and self._try_matvec_plan(plan, replacement):
-            return  # per-slot templates differ: the matvec pattern matched
+        if len(base_slots) < 2:
+            # per-slot templates differ: try the structured patterns
+            if self._try_matvec_plan(plan, replacement):
+                return
+            if self._try_scalar_product_plan(plan, replacement):
+                return
 
         # outliers must be pure literals (the singleOutlier spec)
         if any(plan.slots[s][0] != "const" for s in outliers):
@@ -543,6 +714,100 @@ class Vectorizer:
         self.aux.result_slot[target] = 0
         self.aux.batched_statements += len(plan.statement_positions)
 
+    # --- condition packing (the cardioTest specs) -------------------------------
+    def _emit_condition_chain(self, plan: ConditionPlan,
+                              replacement: List[Optional[object]],
+                              initial_literal: Optional[int]) -> None:
+        """Batch `risk = risk +++ cond_i` chains (DISABLED_cardioTest /
+        DISABLED_cardioTestSimplified, VectorizerTest.cpp:225-368)."""
+        if len(plan.entries) < 2 or initial_literal != 0:
+            return
+        if not any(_is_real_comparison(t) for t in plan.entries):
+            return  # plain scalar sums: not worth a ciphertext
+        stmts = self._condition_packing_stmts(plan.target, plan.entries)
+        self._replace(plan.statement_positions, stmts, replacement)
+        self.aux.result_slot[plan.target] = 0
+        self.aux.batched_statements += len(plan.statement_positions)
+
+    def _try_condition_packing(self, stmt: Assignment, pos: int,
+                               replacement: List[Optional[object]]) -> bool:
+        """Batch the mega-expression form `risk = c1 +++ c2 +++ …`
+        (DISABLED_cardioTestMegaExpression, ExpressionBatcherTest.cpp:49)."""
+        terms = _flatten_chain(stmt.value, (Op.ADD, Op.FHE_ADD))
+        if terms is None or len(terms) < 2:
+            return False
+        parsed = []
+        for t in terms:
+            p = _parse_condition_term(t)
+            if p is None:
+                return False
+            parsed.append(p)
+        if not any(_is_real_comparison(t) for t in parsed):
+            return False
+        target = stmt.target.identifier
+        if any(target in _cond_term_reads(t) for t in parsed):
+            return False
+        stmts = self._condition_packing_stmts(target, parsed)
+        self._replace([pos], stmts, replacement)
+        self.aux.result_slot[target] = 0
+        self.aux.batched_statements += 1
+        return True
+
+    def _condition_packing_stmts(self, target: str,
+                                 terms: List[tuple]) -> List[object]:
+        """Emit the packed form (VectorizerTest.cpp:307-368 expected):
+
+            __flags__ = {flag_0, …};   __lhs__ = {lhs_0, …};   __rhs__ = {…}
+            [__lhs__ = __lhs__ + {delta vector}]     (affine sides, e.g. −90)
+            risk = __flags__ *** (__lhs__ > __rhs__)
+            risk = risk + rotate(risk, k) …          (sum to slot 0)
+
+        Comparisons are normalized to `>` orientation (a < b ⇒ b > a); bare
+        flags become flag***(1>0). Flag slots K..Kp−1 are zero-padded so the
+        rotate-reduce needs no mask."""
+        from abc_tpu.utils.datatype import Datatype, Type
+
+        K = len(terms)
+        Kp = _next_pow2(K)
+        cols = [[t[0] for t in terms],
+                [t[1][0] for t in terms],
+                [t[2][0] for t in terms]]
+        deltas = [[t[1][1] for t in terms], [t[2][1] for t in terms]]
+        stmts: List[object] = []
+        names: List[str] = []
+        for col in cols:
+            nm = f"__input{self._fresh}__"
+            self._fresh += 1
+            names.append(nm)
+            elems = [Variable(e[1]) if e[0] == "var" else LiteralInt(e[1])
+                     for e in col] + [LiteralInt(0)] * (Kp - K)
+            self.aux.input_packings[nm] = \
+                [e[1] for e in col] + [0] * (Kp - K)
+            stmts.append(VariableDeclaration(Datatype(Type.INT),
+                                             Variable(nm),
+                                             ExpressionList(elems)))
+        for side, ds in enumerate(deltas):
+            if any(d != 0 for d in ds):
+                nm = names[side + 1]
+                stmts.append(Assignment(
+                    Variable(nm),
+                    BinaryExpression(Variable(nm), Operator(Op.ADD),
+                                     _vec(ds + [0] * (Kp - K),
+                                          trailing=None))))
+        cmp = BinaryExpression(Variable(names[1]), Operator(Op.GREATER),
+                               Variable(names[2]))
+        stmts.append(Assignment(
+            Variable(target),
+            BinaryExpression(Variable(names[0]), Operator(Op.FHE_MUL), cmp)))
+        half = Kp // 2
+        while half >= 1:
+            stmts.append(Assignment(
+                Variable(target),
+                BinaryExpression(Variable(target), Operator(Op.ADD),
+                                 _rotate(Variable(target), half))))
+            half //= 2
+        return stmts
+
     # --- matvec batching (the matrixVectorTest spec) ---------------------------
     def _try_matvec_plan(self, plan: SlotPlan,
                          replacement: List[Optional[object]]) -> bool:
@@ -643,6 +908,100 @@ class Vectorizer:
         self.aux.result_stride[target] = T
         self.aux.valid_slots[target] = S * T
         self.aux.required_zero_tail[b_name] = T
+        self.aux.batched_statements += len(plan.statement_positions)
+        return True
+
+    # --- multi-slot scalar-product batching ------------------------------------
+    def _try_scalar_product_plan(self, plan: SlotPlan,
+                                 replacement: List[Optional[object]]) -> bool:
+        """Batch  x[s] = Σ_k Π_f v_{s,k,f}  over all slots into ONE packed
+        plan — the reference's DISABLED_batchableExpressionVectorizable
+        (VectorizerTest.cpp:484-540). Its expected output is marked "what we
+        would IDEALLY like to see" and is internally inconsistent (two
+        multiplies for a two-factor product), so this emits the sound
+        equivalent: one packed input per factor column with slot-major
+        [s][k] layout (term count padded to a power of two per block),
+        F−1 ciphertext multiplies, then a log-depth rotate-reduce over each
+        block; x[s]'s result lands at slot s·Kp (aux.result_stride)."""
+        slots = sorted(plan.slots)
+        S = len(slots)
+        if S < 2 or slots != list(range(S)):
+            return False
+        add_str = mul_str = None
+        K = F = None
+        grid: List[List[List[str]]] = []   # [slot][term][factor] leaf names
+        for s in slots:
+            norm = plan.slots[s]
+            flat = _flatten_norm_sum(norm)
+            terms = flat[1] if flat is not None else [norm]
+            if flat is not None:
+                if add_str is None:
+                    add_str = flat[0]
+                elif flat[0] != add_str:
+                    return False
+            rows: List[List[str]] = []
+            for t in terms:
+                fp = _flatten_norm_product(t)
+                if fp is None:
+                    return False
+                m_str, leaves = fp
+                if mul_str is None:
+                    mul_str = m_str
+                elif m_str != mul_str:
+                    return False
+                if not all(l[0] == "var" for l in leaves):
+                    return False
+                rows.append([l[1] for l in leaves])
+            if K is None:
+                K = len(rows)
+            if len(rows) != K:
+                return False
+            if F is None:
+                F = len(rows[0])
+            if any(len(r) != F for r in rows):
+                return False
+            grid.append(rows)
+        if F < 2:
+            return False
+        if plan.target in {n for rows in grid for r in rows for n in r}:
+            return False
+
+        from abc_tpu.utils.datatype import Datatype, Type
+        Kp = _next_pow2(K)
+        target = plan.target
+        stmts: List[object] = []
+        names: List[str] = []
+        for f in range(F):
+            nm = f"__input{self._fresh}__"
+            self._fresh += 1
+            names.append(nm)
+            col: List[Optional[str]] = []
+            for s in range(S):
+                col += [grid[s][k][f] for k in range(K)]
+                col += [None] * (Kp - K)
+            elems = [Variable(n) if n is not None else LiteralInt(0)
+                     for n in col]
+            self.aux.input_packings[nm] = [n if n is not None else 0
+                                           for n in col]
+            stmts.append(VariableDeclaration(Datatype(Type.INT),
+                                             Variable(nm),
+                                             ExpressionList(elems)))
+        mul_op = Operator(Op.FHE_MUL if mul_str == "***" else Op.MUL)
+        add_op = Operator(Op.FHE_ADD if add_str == "+++" else Op.ADD)
+        prod: AbstractExpression = Variable(names[0])
+        for nm in names[1:]:
+            prod = BinaryExpression(prod, mul_op, Variable(nm))
+        stmts.append(Assignment(Variable(target), prod))
+        half = Kp // 2
+        while half >= 1:
+            stmts.append(Assignment(
+                Variable(target),
+                BinaryExpression(Variable(target), add_op,
+                                 _rotate(Variable(target), half))))
+            half //= 2
+        self._replace(plan.statement_positions, stmts, replacement)
+        self.aux.result_stride[target] = Kp
+        self.aux.valid_slots[target] = S * Kp
         self.aux.batched_statements += len(plan.statement_positions)
         return True
 

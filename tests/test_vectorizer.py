@@ -264,3 +264,160 @@ def test_matvec_pattern_rejected_on_wrong_stride():
     """
     out = vectorize_str(src)
     assert "rotate" not in out   # stride 5 != term count 2: untouched
+
+
+# ---------------------------------------------------------- cardio packing
+
+CARDIO_CHAIN = """
+  risk = 0;
+  risk = risk +++ (man && (age > 50));
+  risk = risk +++ (woman && (age > 40));
+  risk = risk +++ smoking;
+  risk = risk +++ diabetic;
+  risk = risk +++ high_blood_pressure;
+  risk = risk +++ (cholesterol < 40);
+  risk = risk +++ (weight > (height - 90));
+  risk = risk +++ (daily_physical_activity < 30);
+  risk = risk +++ (man && (alcohol > 3));
+  risk = risk +++ (woman && (alcohol > 2));
+"""
+
+
+def test_cardio_chain_spec():
+    """The reference's DISABLED_cardioTest (VectorizerTest.cpp:225): ten
+    guarded-comparison accumulations pack into flags***(lhs>rhs) with an
+    affine correction for the (height - 90) side, then rotate-reduce."""
+    from abc_tpu.passes.vectorizer import Vectorizer, _expand_groups
+    from abc_tpu.passes.printer import program_to_string
+    ast = Parser.parse(CARDIO_CHAIN)
+    v = Vectorizer()
+    v.run(ast)
+    _expand_groups(ast)
+    text = program_to_string(ast)
+    assert "risk = (__input0__ *** (__input1__ > __input2__));" in text
+    # the -90 delta correction on the rhs column (slot 6)
+    delta_vec = ", ".join(str(v) for v in
+                          [0] * 6 + [-90] + [0] * 9)    # padded to Kp=16
+    assert f"__input2__ = (__input2__ + {{{delta_vec}}});" in text
+    # 10 terms -> reduce over 16
+    assert "risk = (risk + rotate(risk, 8));" in text
+    assert "risk = (risk + rotate(risk, 1));" in text
+    assert v.aux.result_slot["risk"] == 0
+    # packing report: flags column per VectorizerTest.cpp:272-276
+    flags = v.aux.input_packings["__input0__"]
+    assert flags[:10] == ["man", "woman", "smoking", "diabetic",
+                          "high_blood_pressure", 1, 1, 1, "man", "woman"]
+    assert flags[10:] == [0] * 6
+
+
+def test_cardio_mega_expression_spec():
+    """DISABLED_cardioTestMegaExpression (ExpressionBatcherTest.cpp:49) /
+    DISABLED_cardioTestSimplified: single-statement sum of conditions."""
+    from abc_tpu.passes.vectorizer import Vectorizer, _expand_groups
+    from abc_tpu.passes.printer import program_to_string
+    src = """
+      risk = (man && (age > 50)) +++ (woman && (age > 40)) +++ smoking
+        +++ diabetic +++ high_blood_pressure +++ (40 > cholesterol)
+        +++ (weight > height) +++ (30 > daily_physical_activity)
+        +++ (man && (alcohol > 3)) +++ (woman && (alcohol > 2));
+    """
+    ast = Parser.parse(src)
+    v = Vectorizer()
+    v.run(ast)
+    _expand_groups(ast)
+    text = program_to_string(ast)
+    assert "risk = (__input0__ *** (__input1__ > __input2__));" in text
+    assert v.aux.input_packings["__input1__"][:10] == \
+        ["age", "age", 1, 1, 1, 40, "weight", 30, "alcohol", "alcohol"]
+    assert v.aux.input_packings["__input2__"][:10] == \
+        [50, 40, 0, 0, 0, "cholesterol", "height",
+         "daily_physical_activity", 3, 2]
+
+
+def test_cardio_chain_executes_on_dummy():
+    vals = dict(man=1, woman=0, age=55, smoking=1, diabetic=0,
+                high_blood_pressure=1, cholesterol=35, weight=120,
+                height=180, daily_physical_activity=20, alcohol=4)
+    expected = ((vals["man"] and vals["age"] > 50)
+                + (vals["woman"] and vals["age"] > 40)
+                + vals["smoking"] + vals["diabetic"]
+                + vals["high_blood_pressure"]
+                + (vals["cholesterol"] < 40)
+                + (vals["weight"] > vals["height"] - 90)
+                + (vals["daily_physical_activity"] < 30)
+                + (vals["man"] and vals["alcohol"] > 3)
+                + (vals["woman"] and vals["alcohol"] > 2))
+    inputs = Parser.parse(
+        " ".join(f"int {k} = {v};" for k, v in vals.items()))
+    compiled = compile_program("int risk = 0;" + CARDIO_CHAIN[CARDIO_CHAIN.
+                               index("risk = risk"):],
+                               input_types_from_ast(inputs),
+                               CompileOptions(vectorize=True))
+    assert "rotate" in str(compiled.ast)
+    factory = DummyCiphertextFactory(32)
+    rv, pairs = run_compiled(compiled, inputs, Parser.parse("out = risk;"),
+                             factory)
+    assert int(pairs[0][1].values[0]) == int(expected)
+
+
+def test_plain_scalar_chain_untouched():
+    # accumulating bare scalars (no comparison) must NOT become a ciphertext
+    src = "s = 0; s = s + a; s = s + b; s = s + c;"
+    out = vectorize_str(src)
+    assert "__input" not in out and "rotate" not in out
+
+
+# --------------------------------------- batchableExpressionVectorizable
+
+def test_batchable_expression_vectorizable_spec():
+    """DISABLED_batchableExpressionVectorizable (VectorizerTest.cpp:484):
+    four sum-of-product slot writes fold into ONE packed plan (the
+    reference's expected rotation script is marked aspirational and is
+    internally inconsistent; we emit the sound stride-form equivalent)."""
+    from abc_tpu.passes.vectorizer import Vectorizer, _expand_groups
+    from abc_tpu.passes.printer import program_to_string
+    src = """
+      x[0] = (a*b) + (c*d);
+      x[1] = (e*f) + (g*h);
+      x[2] = (i*j) + (k*l);
+      x[3] = (m*n) + (o*p);
+    """
+    ast = Parser.parse(src)
+    v = Vectorizer()
+    v.run(ast)
+    _expand_groups(ast)
+    text = program_to_string(ast)
+    assert "x = (__input0__ * __input1__);" in text
+    assert "x = (x + rotate(x, 1));" in text
+    assert v.aux.input_packings["__input0__"] == \
+        ["a", "c", "e", "g", "i", "k", "m", "o"]
+    assert v.aux.input_packings["__input1__"] == \
+        ["b", "d", "f", "h", "j", "l", "n", "p"]
+    assert v.aux.result_stride["x"] == 2
+
+
+def test_batchable_expression_vectorizable_executes_on_dummy():
+    import string
+    names = list(string.ascii_lowercase[:12])   # 3 slots x 2 terms x 2 facs
+    vals = {n: i + 2 for i, n in enumerate(names)}
+    inputs = Parser.parse(" ".join(f"int {n} = {v};"
+                                   for n, v in vals.items()))
+    program = """
+      int x = 0;
+      x[0] = (a*b) + (c*d);
+      x[1] = (e*f) + (g*h);
+      x[2] = (i*j) + (k*l);
+    """
+    compiled = compile_program(program, input_types_from_ast(inputs),
+                               CompileOptions(vectorize=True))
+    assert "rotate" in str(compiled.ast)
+    factory = DummyCiphertextFactory(16)
+    rv, pairs = run_compiled(compiled, inputs, Parser.parse("out = x;"),
+                             factory)
+    res = pairs[0][1].values
+    g = lambda n: vals[n]
+    expected = [g("a") * g("b") + g("c") * g("d"),
+                g("e") * g("f") + g("g") * g("h"),
+                g("i") * g("j") + g("k") * g("l")]
+    got = [int(res[2 * s]) for s in range(3)]   # stride Kp=2
+    assert got == expected, (got, expected)
