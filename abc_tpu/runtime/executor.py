@@ -220,13 +220,40 @@ class RuntimeVisitor:
             idx = self._eval_scalar_int(target.index, "index of IndexAccess")
             name = target.target.identifier
             dt, stored = self.env.lookup(name)
-            if isinstance(stored, AbstractCiphertext) or not isinstance(stored, Cleartext):
+            if isinstance(stored, AbstractCiphertext):
+                # Masked slot write on a ciphertext store (beyond the
+                # reference, which only supports cleartext vectors,
+                # RuntimeVisitor.cpp:362-381): zero slot idx with a keep
+                # mask, then add the value placed at slot idx. A ciphertext
+                # value is slot-0-aligned (see _eval_index_access) and is
+                # moved to slot idx by the inverse rotation.
+                slots = self.factory.slot_count
+                keep = [1] * slots
+                keep[idx % slots] = 0
+                kept = stored.multiply_plain(Cleartext(keep, Type.INT))
+                if isinstance(value, Cleartext):
+                    write = [0] * slots
+                    write[idx % slots] = value.scalar()
+                    self.env.assign(name,
+                                    kept.add_plain(Cleartext(write, Type.INT)))
+                else:
+                    onehot = [0] * slots
+                    onehot[idx % slots] = 1
+                    moved = value.rotate_rows(-idx) if idx % slots else value
+                    self.env.assign(
+                        name,
+                        kept.add(moved.multiply_plain(
+                            Cleartext(onehot, Type.INT))))
+            elif not isinstance(stored, Cleartext):
                 raise RuntimeExecutionError(
-                    "indexed assignment is only supported on cleartext vectors")
-            if not isinstance(value, Cleartext):
+                    "indexed assignment requires a vector store")
+            elif not isinstance(value, Cleartext):
                 raise RuntimeExecutionError(
-                    "indexed assignment value must be a cleartext scalar")
-            self.env.assign(name, stored.with_value_at_index(idx, value.scalar()))
+                    "indexed assignment of a secret value into a cleartext "
+                    "vector is not supported (declare the vector secret)")
+            else:
+                self.env.assign(name,
+                                stored.with_value_at_index(idx, value.scalar()))
         else:
             raise RuntimeExecutionError("assignment target must be Variable or IndexAccess")
 
@@ -336,14 +363,19 @@ class RuntimeVisitor:
         return lhs.binary_op(op, rhs)
 
     def _eval_index_access(self, expr: IndexAccess) -> AbstractValue:
-        if self._is_tainted(expr):
-            raise RuntimeExecutionError(
-                "IndexAccess on secret values is not supported by the executor; "
-                "the batching pass removes these (ref: RuntimeVisitor.cpp:270-299)")
         target = self._eval(expr.target)
+        idx = self._eval_scalar_int(expr.index, "IndexAccess index")
+        if isinstance(target, AbstractCiphertext):
+            # Slot-0-aligned secret read: ct[i] ≡ rotate(ct, i), the same
+            # decode convention the output AST uses (RuntimeVisitor.cpp:
+            # 489-530). Slots other than 0 carry rotated garbage; every
+            # consumer of a secret scalar reads slot 0. This implements the
+            # reference's TODO ("Implement IndexAccess for secret
+            # variables", LaplaceSharpeningTest.cpp:180) that kept its only
+            # SEAL end-to-end test disabled.
+            return target.rotate_rows(idx) if idx else target
         if not isinstance(target, Cleartext):
             raise RuntimeExecutionError("IndexAccess target must be a cleartext vector")
-        idx = self._eval_scalar_int(expr.index, "IndexAccess index")
         try:
             return Cleartext.from_scalar(target.values[idx], target.dtype)
         except IndexError:

@@ -1,0 +1,126 @@
+"""Secret IndexAccess: reads on ciphertexts (slot-0-aligned rotation) and
+masked slot writes into ciphertext stores.
+
+The reference never implemented this — its only SEAL end-to-end test is
+DISABLED on the TODO "Implement IndexAccess for secret variables (with
+plaintext index)" (LaplaceSharpeningTest.cpp:180). These tests implement
+that spec and finish the encrypted LaplaceSharpening end-to-end run.
+"""
+
+import random
+
+from helpers import run_program
+from abc_tpu.runtime.dummy import DummyCiphertextFactory
+
+
+def _bfv_factory(slots=1024, seed=11):
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    return BfvCiphertextFactory(slots=slots, seed=seed)
+
+
+# ------------------------------------------------------------- unit: reads
+
+def test_secret_index_read_dummy():
+    inputs = "secret int x = {10, 20, 30, 40};"
+    program = "secret int y = x[2] + 5;"
+    factory = DummyCiphertextFactory(8)
+    rv, pairs = run_program(inputs, program, "out = y;", factory)
+    assert factory.decrypt(pairs[0][1])[0] == 35
+
+
+def test_secret_index_read_bfv():
+    inputs = "secret int x = {10, 20, 30, 40};"
+    program = "secret int y = x[3] * x[1];"
+    factory = _bfv_factory()
+    rv, pairs = run_program(inputs, program, "out = y;", factory)
+    assert factory.decrypt(pairs[0][1])[0] == 40 * 20
+
+
+# ------------------------------------------------------------ unit: writes
+
+def test_secret_index_write_plain_value_dummy():
+    inputs = "secret int x = {1, 2, 3, 4};"
+    program = "x[1] = 99;"
+    factory = DummyCiphertextFactory(8)
+    rv, pairs = run_program(inputs, program, "out = x;", factory)
+    assert factory.decrypt(pairs[0][1])[:4] == [1, 99, 3, 4]
+
+
+def test_secret_index_write_secret_value_dummy():
+    # ciphertext value lands at the target slot via inverse rotation + mask
+    inputs = "secret int x = {1, 2, 3, 4}; secret int y = {7, 8, 9, 6};"
+    program = "x[2] = y[1] + x[0];"
+    factory = DummyCiphertextFactory(8)
+    rv, pairs = run_program(inputs, program, "out = x;", factory)
+    assert factory.decrypt(pairs[0][1])[:4] == [1, 2, 8 + 1, 4]
+
+
+def test_secret_index_write_secret_value_bfv():
+    inputs = "secret int x = {1, 2, 3, 4}; secret int y = {7, 8, 9, 6};"
+    program = "x[0] = y[3] * x[3];"
+    factory = _bfv_factory()
+    rv, pairs = run_program(inputs, program, "out = x;", factory)
+    assert factory.decrypt(pairs[0][1])[:4] == [24, 2, 3, 4]
+
+
+# -------------------------------------------- encrypted LaplaceSharpening
+
+LAPLACE_SECRET_PROGRAM = """
+    int weightMatrix = {1, 1, 1, 1, -8, 1, 1, 1, 1};
+    secret int img2 = img;
+    for (int x = 1; x < imgSize-1; x = x + 1) {
+      for (int y = 1; y < imgSize-1; y = y + 1) {
+        secret int value = 0;
+        for (int j = -1; j < 2; j = j + 1) {
+          for (int i = -1; i < 2; i = i + 1) {
+            value = value + weightMatrix[(i + 1)*3 + j + 1]
+                *img[(x + i)*imgSize + y + j];
+          }
+        }
+        img2[imgSize*x + y] = 2*img[imgSize*x + y] - value;
+      }
+    }
+    return img2;
+"""
+
+
+def _laplace_expected(img, size):
+    weights = [1, 1, 1, 1, -8, 1, 1, 1, 1]
+    out = list(img)
+    for x in range(1, size - 1):
+        for y in range(1, size - 1):
+            conv = sum(weights[(i + 1) * 3 + j + 1] *
+                       img[(x + i) * size + (y + j)]
+                       for j in range(-1, 2) for i in range(-1, 2))
+            out[x * size + y] = 2 * img[x * size + y] - conv
+    return out
+
+
+def test_laplace_sharpening_encrypted_dummy():
+    size = 8
+    rng = random.Random(5)
+    img = [rng.randrange(0, 256) for _ in range(size * size)]
+    inputs = ("secret int img = {" + ",".join(map(str, img)) + "};"
+              f" int imgSize = {size};")
+    factory = DummyCiphertextFactory(128)
+    rv, pairs = run_program(inputs, LAPLACE_SECRET_PROGRAM, "out = img2;",
+                            factory)
+    got = factory.decrypt(pairs[0][1])[:size * size]
+    assert got == _laplace_expected(img, size)
+
+
+def test_laplace_sharpening_encrypted_bfv():
+    """The reference's LaplaceSharpeningTest SEAL run, completed: encrypted
+    image in, per-pixel secret reads/writes, decrypted result matches the
+    plaintext oracle (reference used n=16384 on CPU SEAL; n=1024 here keeps
+    the CI-side CPU run fast — the scheme path is identical)."""
+    size = 4
+    rng = random.Random(9)
+    img = [rng.randrange(0, 64) for _ in range(size * size)]
+    inputs = ("secret int img = {" + ",".join(map(str, img)) + "};"
+              f" int imgSize = {size};")
+    factory = _bfv_factory(slots=1024, seed=3)
+    rv, pairs = run_program(inputs, LAPLACE_SECRET_PROGRAM, "out = img2;",
+                            factory)
+    got = factory.decrypt(pairs[0][1])[:size * size]
+    assert got == _laplace_expected(img, size)
