@@ -24,14 +24,16 @@ from abc_tpu.crypto.numthy import gen_ntt_primes
 # bit sizes per n: (data primes, special prime) — all 30-bit or smaller,
 # chosen to fit the HE-standard 128-bit-security modulus budget
 # Note: with a 20-bit plain modulus, one plaintext/ciphertext multiply grows
-# the noise by ~t·n ≈ 2^30-2^33, so at least 3 data limbs (Δ = q/t ≥ 2^70)
-# are needed for any multiplicative depth. The n ≤ 4096 presets therefore
-# trade the strict 128-bit-security modulus budget (109 bits at n=4096) for
-# usability and carry no security claim — production sizes are 8192+.
+# the noise by ~t·n ≈ 2^30-2^33 (a DENSE plaintext, e.g. a slot mask; a
+# slot-constant plaintext is a single small coefficient and costs far less),
+# so ≥5 data limbs are needed for ct·ct multiply + masked-write depth. The
+# n ≤ 4096 presets therefore trade the strict 128-bit-security modulus budget
+# (109 bits at n=4096) for usability and carry no security claim —
+# production sizes are 8192+.
 _DEFAULT_CHAIN = {
-    1024: ([30] * 3, 30),      # dev/test size
-    2048: ([30] * 3, 30),      # dev/test size
-    4096: ([30] * 3, 30),      # dev-grade (120 bits > 109-bit 128-sec budget)
+    1024: ([30] * 5, 30),      # dev/test size
+    2048: ([30] * 5, 30),      # dev/test size
+    4096: ([30] * 5, 30),      # dev-grade (180 bits > 109-bit 128-sec budget)
     8192: ([30] * 6, 30),      # 210 ≤ 218
     16384: ([30] * 13, 30),    # 420 ≤ 438
     32768: ([30] * 27, 30),    # 840 ≤ 881

@@ -33,7 +33,9 @@ from abc_tpu.ast_ir.nodes import (
     TernaryOperator, UnaryExpression, Variable, VariableDeclaration,
 )
 from abc_tpu.runtime.backend import AbstractCiphertextFactory
-from abc_tpu.runtime.values import AbstractCiphertext, AbstractValue, Cleartext
+from abc_tpu.runtime.values import (
+    AbstractCiphertext, AbstractValue, Cleartext, LazyMaskedCiphertext,
+    unwrap_value)
 from abc_tpu.utils.datatype import Datatype, Type
 from abc_tpu.utils.errors import RuntimeExecutionError
 
@@ -105,7 +107,7 @@ class RuntimeVisitor:
             value = assignment.value
             if isinstance(value, Variable):
                 _, stored = self.globals.lookup(value.identifier)
-                out.append((name, stored))
+                out.append((name, unwrap_value(stored)))
             elif isinstance(value, IndexAccess):
                 if not isinstance(value.target, Variable) or not isinstance(
                         value.index, Literal):
@@ -223,27 +225,17 @@ class RuntimeVisitor:
             if isinstance(stored, AbstractCiphertext):
                 # Masked slot write on a ciphertext store (beyond the
                 # reference, which only supports cleartext vectors,
-                # RuntimeVisitor.cpp:362-381): zero slot idx with a keep
-                # mask, then add the value placed at slot idx. A ciphertext
-                # value is slot-0-aligned (see _eval_index_access) and is
-                # moved to slot idx by the inverse rotation.
-                slots = self.factory.slot_count
-                keep = [1] * slots
-                keep[idx % slots] = 0
-                kept = stored.multiply_plain(Cleartext(keep, Type.INT))
-                if isinstance(value, Cleartext):
-                    write = [0] * slots
-                    write[idx % slots] = value.scalar()
-                    self.env.assign(name,
-                                    kept.add_plain(Cleartext(write, Type.INT)))
-                else:
-                    onehot = [0] * slots
-                    onehot[idx % slots] = 1
-                    moved = value.rotate_rows(-idx) if idx % slots else value
-                    self.env.assign(
-                        name,
-                        kept.add(moved.multiply_plain(
-                            Cleartext(onehot, Type.INT))))
+                # RuntimeVisitor.cpp:362-381): algebraically
+                # x' = x*keep + onehot*align(value). Writes are DEFERRED via
+                # LazyMaskedCiphertext so N writes cost one keep-mask multiply
+                # at materialization instead of compounding ~log2(n*t) noise
+                # bits into the store per write. A ciphertext value is
+                # slot-0-aligned (see _eval_index_access) and moved to slot
+                # idx by the inverse rotation inside with_slot_write.
+                if not isinstance(stored, LazyMaskedCiphertext):
+                    stored = LazyMaskedCiphertext(stored,
+                                                  self.factory.slot_count)
+                self.env.assign(name, stored.with_slot_write(idx, value))
             elif not isinstance(stored, Cleartext):
                 raise RuntimeExecutionError(
                     "indexed assignment requires a vector store")

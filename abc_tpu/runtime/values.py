@@ -158,6 +158,7 @@ class AbstractCiphertext(AbstractValue):
                         self_is_lhs: bool = True) -> "AbstractCiphertext":
         """Dispatch helper mirroring SealCiphertext's RTTI dispatch
         (SealCiphertext.cpp:208-239)."""
+        other = unwrap_value(other)  # collapse lazy masked views (see below)
         plain_op = {Op.FHE_ADD: Op.ADD, Op.FHE_SUB: Op.SUB, Op.FHE_MUL: Op.MUL}.get(op, op)
         if isinstance(other, AbstractCiphertext):
             if plain_op == Op.ADD:
@@ -177,3 +178,123 @@ class AbstractCiphertext(AbstractValue):
         raise RuntimeExecutionError(
             f"operation ({op}) not supported on ciphertexts "
             "(division/modulo/logical/bitwise require binary circuits)")
+
+
+class LazyMaskedCiphertext(AbstractCiphertext):
+    """Deferred masked-slot-write view over a ciphertext store.
+
+    A slot write ``x[i] = v`` on a ciphertext is algebraically
+    ``x' = x*keep_i + onehot_i*align(v)``. Applying the keep-mask multiply
+    eagerly re-multiplies the WHOLE stored ciphertext per write, compounding
+    ~log2(n*t) noise bits into the store for every write — a handful of
+    writes exhausts any practical budget. (The reference never hit this: it
+    supports indexed assignment only on cleartext vectors,
+    RuntimeVisitor.cpp:362-381, and left secret IndexAccess as a TODO,
+    LaplaceSharpeningTest.cpp:180.)
+
+    This view defers the mask: writes to distinct slots accumulate a combined
+    keep mask, a plaintext write vector, and a ciphertext accumulator. N
+    writes cost ONE multiply_plain on the base at materialization (plus one
+    per ciphertext-valued write to isolate its slot), so the store's noise is
+    a max over the written values, not a sum over the writes. Any other use
+    of the value (arithmetic, rotation, decryption) materializes it.
+    """
+
+    __slots__ = ("base", "keep", "plain_writes", "acc", "_cached")
+
+    def __init__(self, base: "AbstractCiphertext", slots: int):
+        self.base = base
+        self.keep = [1] * slots
+        self.plain_writes: List[Any] = [0] * slots
+        self.acc: AbstractCiphertext | None = None
+        self._cached: AbstractCiphertext | None = None
+
+    @property
+    def slots(self) -> int:
+        return len(self.keep)
+
+    # --- lazy write API ----------------------------------------------------
+    def with_slot_write(self, index: int, value: AbstractValue
+                        ) -> "LazyMaskedCiphertext":
+        """Return a new view with slot `index` overwritten by `value`
+        (a scalar Cleartext, or a slot-0-aligned ciphertext)."""
+        idx = index % self.slots
+        if self.keep[idx] == 0:
+            # slot rewritten: collapse first so the old contribution is
+            # actually erased by the new keep mask
+            return LazyMaskedCiphertext(self.materialize(), self.slots) \
+                .with_slot_write(idx, value)
+        new = LazyMaskedCiphertext(self.base, self.slots)
+        new.keep = list(self.keep)
+        new.plain_writes = list(self.plain_writes)
+        new.acc = self.acc
+        new.keep[idx] = 0
+        if isinstance(value, Cleartext):
+            new.plain_writes[idx] = value.scalar()
+        elif isinstance(value, AbstractCiphertext):
+            moved = value.rotate_rows(-idx) if idx else value
+            onehot = [0] * self.slots
+            onehot[idx] = 1
+            masked = moved.multiply_plain(Cleartext(onehot, Type.INT))
+            new.acc = masked if new.acc is None else new.acc.add(masked)
+        else:
+            raise RuntimeExecutionError(
+                f"cannot write value of type {type(value).__name__} into a "
+                "ciphertext slot")
+        return new
+
+    def materialize(self) -> "AbstractCiphertext":
+        if self._cached is None:
+            ct = self.base
+            if not all(self.keep):
+                ct = ct.multiply_plain(Cleartext(self.keep, Type.INT))
+            if any(self.plain_writes):
+                ct = ct.add_plain(Cleartext(self.plain_writes, Type.INT))
+            if self.acc is not None:
+                ct = ct.add(self.acc)
+            self._cached = ct
+        return self._cached
+
+    # --- AbstractCiphertext interface: forward through materialization -----
+    def add(self, other):
+        return self.materialize().add(unwrap_value(other))
+
+    def subtract(self, other):
+        return self.materialize().subtract(unwrap_value(other))
+
+    def multiply(self, other):
+        return self.materialize().multiply(unwrap_value(other))
+
+    def add_plain(self, other):
+        return self.materialize().add_plain(other)
+
+    def subtract_plain(self, other):
+        return self.materialize().subtract_plain(other)
+
+    def subtract_from_plain(self, other):
+        return self.materialize().subtract_from_plain(other)
+
+    def multiply_plain(self, other):
+        return self.materialize().multiply_plain(other)
+
+    def rotate_rows(self, steps: int):
+        return self.materialize().rotate_rows(steps)
+
+    def apply_binary_op(self, op, other, self_is_lhs: bool = True):
+        return self.materialize().apply_binary_op(op, unwrap_value(other),
+                                                  self_is_lhs)
+
+    def noise_bits(self) -> int:
+        return self.materialize().noise_bits()
+
+    def __repr__(self) -> str:
+        written = self.slots - sum(self.keep)
+        return f"LazyMaskedCiphertext({written} pending writes over {self.base!r})"
+
+
+def unwrap_value(value: AbstractValue) -> AbstractValue:
+    """Collapse a lazy masked view to its backend ciphertext; identity on
+    everything else. Call before handing values to a backend/factory."""
+    if isinstance(value, LazyMaskedCiphertext):
+        return value.materialize()
+    return value
