@@ -124,3 +124,47 @@ def test_laplace_sharpening_encrypted_bfv():
                             factory)
     got = factory.decrypt(pairs[0][1])[:size * size]
     assert got == _laplace_expected(img, size)
+
+
+# ------------------------------------- lazy masked-write edge cases
+
+def test_secret_index_rewrite_same_slot_bfv():
+    """A second write to the same slot must erase the first (forces a
+    materialize-then-restart of the lazy view)."""
+    inputs = "secret int x = {1, 2, 3, 4};"
+    program = "x[1] = 50; x[1] = 60;"
+    factory = _bfv_factory()
+    rv, pairs = run_program(inputs, program, "out = x;", factory)
+    assert factory.decrypt(pairs[0][1])[:4] == [1, 60, 3, 4]
+
+
+def test_secret_index_read_between_writes_bfv():
+    """Reading the store between writes must observe pending writes."""
+    inputs = "secret int x = {1, 2, 3, 4};"
+    program = "x[1] = 50; secret int y = x[1] + x[0]; x[2] = y[0];"
+    factory = _bfv_factory()
+    rv, pairs = run_program(inputs, program, "out = x;", factory)
+    assert factory.decrypt(pairs[0][1])[:4] == [1, 50, 51, 4]
+
+
+def test_secret_index_write_then_arith_bfv():
+    """Using the whole store in arithmetic after writes materializes it."""
+    inputs = "secret int x = {1, 2, 3, 4}; secret int z = {10, 10, 10, 10};"
+    program = "x[0] = 9; secret int w = x + z;"
+    factory = _bfv_factory()
+    rv, pairs = run_program(inputs, program, "out = w;", factory)
+    assert factory.decrypt(pairs[0][1])[:4] == [19, 12, 13, 14]
+
+
+def test_many_writes_noise_is_flat_bfv():
+    """The point of the lazy view: N distinct-slot writes must not compound
+    the keep-mask noise N times (eager masking dies at n=1024 after ~2)."""
+    slots = 16
+    inputs = ("secret int x = {" + ",".join(str(i) for i in range(slots))
+              + "}; secret int y = {5, 5, 5, 5};")
+    program = "".join(f"x[{i}] = y[0] * {i};" for i in range(slots))
+    factory = _bfv_factory()
+    rv, pairs = run_program(inputs, program, "out = x;", factory)
+    got = factory.decrypt(pairs[0][1])[:slots]
+    assert got == [5 * i for i in range(slots)]
+    assert pairs[0][1].noise_bits() > 0
