@@ -183,14 +183,19 @@ class BehzContext:
     def multiply(self, ct1_data, ct2_data):
         """[2, L, n] × [2, L, n] → [3, L, n] (pre-relinearization)."""
         nq, nb = self.ntt_q, self.ntt_bsk
+        same = ct1_data is ct2_data        # square: share the operand's lift
         # lift all four polys to Bsk (batched over the leading axis)
         bsk1 = self._to_bsk(ct1_data)
-        bsk2 = self._to_bsk(ct2_data)
+        bsk2 = bsk1 if same else self._to_bsk(ct2_data)
         # tensor product in NTT domain, separately per base
         # (measured: stacking both ciphertexts into one [2,2,L,n] NTT call
-        # costs more in copies than the extra batch amortization saves)
-        f1q, f2q = nq.fwd(ct1_data), nq.fwd(ct2_data)
-        f1b, f2b = nb.fwd(bsk1), nb.fwd(bsk2)
+        # costs more in copies than the extra batch amortization saves).
+        # Explicit reuse for squaring: Pallas calls are custom-calls XLA
+        # will not CSE, so the dedup must happen here.
+        f1q = nq.fwd(ct1_data)
+        f2q = f1q if same else nq.fwd(ct2_data)
+        f1b = nb.fwd(bsk1)
+        f2b = f1b if same else nb.fwd(bsk2)
         e = self.engine
 
         def tensor(f1, f2, q, mu):
