@@ -180,22 +180,34 @@ class BehzContext:
         return e.sub(conv_q, corr, self.q_cols)
 
     # ------------------------------------------------------------------ multiply
-    def multiply(self, ct1_data, ct2_data):
-        """[2, L, n] × [2, L, n] → [3, L, n] (pre-relinearization)."""
+    def precompute_operand(self, ct_data) -> Tuple:
+        """(fwd-NTT over q, fwd-NTT over Bsk) of a ciphertext — the
+        per-operand half of `multiply`. Hoist this for an operand reused
+        across many multiplies (a fixed multiplier in a dependent chain, a
+        shared factor in a product tree): each reuse skips 2·(2L+2)
+        transform rows plus the Bsk lift. Conceptual analogue of SEAL's
+        transform_to_ntt operand pre-transformation."""
+        return (self.ntt_q.fwd(ct_data), self.ntt_bsk.fwd(self._to_bsk(ct_data)))
+
+    def multiply(self, ct1_data, ct2_data, pre1: Tuple = None,
+                 pre2: Tuple = None):
+        """[2, L, n] × [2, L, n] → [3, L, n] (pre-relinearization).
+        pre1/pre2: optional precompute_operand results for the operands."""
         nq, nb = self.ntt_q, self.ntt_bsk
         same = ct1_data is ct2_data        # square: share the operand's lift
-        # lift all four polys to Bsk (batched over the leading axis)
-        bsk1 = self._to_bsk(ct1_data)
-        bsk2 = bsk1 if same else self._to_bsk(ct2_data)
         # tensor product in NTT domain, separately per base
         # (measured: stacking both ciphertexts into one [2,2,L,n] NTT call
         # costs more in copies than the extra batch amortization saves).
         # Explicit reuse for squaring: Pallas calls are custom-calls XLA
         # will not CSE, so the dedup must happen here.
-        f1q = nq.fwd(ct1_data)
-        f2q = f1q if same else nq.fwd(ct2_data)
-        f1b = nb.fwd(bsk1)
-        f2b = f1b if same else nb.fwd(bsk2)
+        f1q, f1b = pre1 if pre1 is not None else \
+            (nq.fwd(ct1_data), nb.fwd(self._to_bsk(ct1_data)))
+        if pre2 is not None:
+            f2q, f2b = pre2
+        elif same:
+            f2q, f2b = f1q, f1b
+        else:
+            f2q, f2b = nq.fwd(ct2_data), nb.fwd(self._to_bsk(ct2_data))
         e = self.engine
 
         def tensor(f1, f2, q, mu):

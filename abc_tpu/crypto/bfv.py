@@ -397,17 +397,29 @@ class BfvContext:
         return BfvCiphertext(self.ntt_q.inv(prod))
 
     def multiply(self, a: BfvCiphertext, b: BfvCiphertext,
-                 relinearize: bool = True) -> BfvCiphertext:
+                 relinearize: bool = True, a_pre=None, b_pre=None
+                 ) -> BfvCiphertext:
         """ct·ct multiply via BEHZ full-RNS (crypto/behz.py), then
         relinearization — the op that dominates the reference's cycles
-        (SealCiphertext.cpp:121-124: multiply_inplace + relinearize_inplace)."""
+        (SealCiphertext.cpp:121-124: multiply_inplace + relinearize_inplace).
+        a_pre/b_pre: optional precompute_mult_operand results, hoisting the
+        per-operand lift+NTT for operands reused across multiplies."""
         if self._behz is None:
             from abc_tpu.crypto.behz import BehzContext
             self._behz = BehzContext(self.params, ntt_q=self.ntt_q)
         if a.size != 2 or b.size != 2:
             raise RuntimeExecutionError("multiply expects size-2 ciphertexts")
-        ct3 = BfvCiphertext(self._behz.multiply(a.data, b.data))
+        ct3 = BfvCiphertext(self._behz.multiply(a.data, b.data,
+                                                pre1=a_pre, pre2=b_pre))
         return self._dbg_check(self.relinearize(ct3) if relinearize else ct3)
+
+    def precompute_mult_operand(self, a: BfvCiphertext):
+        """Hoistable per-operand half of `multiply` (NTT forms over q and
+        Bsk) — SEAL transform_to_ntt analogue for a reused multiplier."""
+        if self._behz is None:
+            from abc_tpu.crypto.behz import BehzContext
+            self._behz = BehzContext(self.params, ntt_q=self.ntt_q)
+        return self._behz.precompute_operand(a.data)
 
     def square(self, a: BfvCiphertext, relinearize: bool = True) -> BfvCiphertext:
         return self.multiply(a, a, relinearize=relinearize)

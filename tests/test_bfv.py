@@ -202,3 +202,19 @@ def test_jx32_engine_bit_exact_full_pipeline():
     np.testing.assert_array_equal(np.asarray(r_jx.data), r_np.data)
     expected = [(x + y) * y for x, y in zip(vals_a, vals_b)][2:]
     assert dec_values(c_np, r_np, 2) == expected
+
+
+def test_precomputed_operand_multiply(ctx):
+    """multiply with hoisted operand NTT forms is bit-identical to the
+    plain path (the serving optimization for fixed multipliers)."""
+    a = ctx.encrypt(ctx.encode([2, 3, 4]))
+    b = ctx.encrypt(ctx.encode([5, 6, 7]))
+    b_pre = ctx.precompute_mult_operand(b)
+    plain = ctx.multiply(a, b)
+    hoisted = ctx.multiply(a, b, b_pre=b_pre)
+    both = ctx.multiply(a, b, a_pre=ctx.precompute_mult_operand(a),
+                        b_pre=b_pre)
+    import numpy as np
+    assert np.array_equal(np.asarray(plain.data), np.asarray(hoisted.data))
+    assert np.array_equal(np.asarray(plain.data), np.asarray(both.data))
+    assert dec_values(ctx, hoisted, 3) == [10, 18, 28]
