@@ -16,7 +16,10 @@ number (clearly labeled) rather than hanging the driver.
 Measured on this rig (TPU v5e, Pallas fused-NTT path): a single dependent
 512-op chain runs ≈ 3580 ops/s (0.28 ms per sequential mult+relin, ~89×
 the SEAL CPU baseline); vmapping BATCH=8 independent chains (the
-BASELINE.json metric is *batched* mult+relin/s) ≈ 4230 ops/s ≈ 105×.
+BASELINE.json metric is *batched* mult+relin/s) ≈ 4100-4230 ops/s ≈ 102-105×
+(4097 ops/s re-measured 2026-08-19). The op is fully generic — no
+fixed-operand NTT hoisting (precompute_mult_operand) is used, although the
+chain's constant multiplier would legitimately allow it.
 Chains are DEPENDENT inside (out feeds the next multiply) under
 lax.fori_loop, so depth still dominates; the long chain also amortizes
 the axon tunnel's 25-45 ms per-dispatch RPC cost, which is a rig artifact.
