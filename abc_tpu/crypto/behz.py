@@ -194,6 +194,20 @@ class BehzContext:
         """[2, L, n] × [2, L, n] → [3, L, n] (pre-relinearization).
         pre1/pre2: optional precompute_operand results for the operands."""
         nq, nb = self.ntt_q, self.ntt_bsk
+        # Precomputes are caller-owned caches: validate the shapes so a
+        # stale/swapped tuple fails loudly instead of producing a silently
+        # wrong product. (Value correspondence is the caller's contract.)
+        for pre, ct in ((pre1, ct1_data), (pre2, ct2_data)):
+            if pre is not None:
+                fq, fb = pre
+                if fq.shape != ct.shape or fb.shape[:-2] != ct.shape[:-2] \
+                        or fb.shape[-2] != self.bsk_cols.shape[0] \
+                        or fb.shape[-1] != ct.shape[-1]:
+                    raise ValueError(
+                        f"precompute_operand shape mismatch: got NTT-q "
+                        f"{fq.shape} / NTT-Bsk {fb.shape} for ciphertext "
+                        f"{ct.shape}; precomputes must come from "
+                        "precompute_operand on this exact operand")
         same = ct1_data is ct2_data        # square: share the operand's lift
         # tensor product in NTT domain, separately per base
         # (measured: stacking both ciphertexts into one [2,2,L,n] NTT call

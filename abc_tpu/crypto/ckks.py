@@ -57,7 +57,12 @@ class CkksParams:
     @staticmethod
     def create(n: int, levels: int = 3, engine: str = "np64",
                seed: Optional[int] = None, scale_bits: int = 25) -> "CkksParams":
+        from abc_tpu.crypto.params import check_modulus_budget
         primes = gen_ntt_primes(30, levels + 1, n)
+        # 30·(levels+1) total bits must fit the HE-standard budget for n
+        # (same guard as the BFV presets, crypto/params.py); warns on
+        # dev-grade over-budget sets instead of refusing them.
+        check_modulus_budget(n, primes, what=f"CkksParams(n={n}, levels={levels})")
         return CkksParams(n=n, coeff_modulus=primes, scale=float(1 << scale_bits),
                           engine=engine, seed=seed)
 

@@ -30,6 +30,30 @@ from abc_tpu.crypto.numthy import gen_ntt_primes
 # n ≤ 4096 presets therefore trade the strict 128-bit-security modulus budget
 # (109 bits at n=4096) for usability and carry no security claim —
 # production sizes are 8192+.
+# HE-standard (homomorphicencryption.org) max total coeff-modulus bits for
+# 128-bit classical security per ring dimension n.
+HE_STANDARD_BUDGET_BITS = {
+    1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881,
+}
+
+
+def check_modulus_budget(n: int, coeff_modulus: List[int],
+                         what: str = "parameter set") -> None:
+    """Warn when the total coefficient-modulus bits exceed the HE-standard
+    128-bit-security budget for ring dimension n. A warning, not an error:
+    dev/test sizes (n ≤ 4096) intentionally trade security margin for
+    usable multiplicative depth and carry no security claim."""
+    import warnings
+    total = sum(q.bit_length() for q in coeff_modulus)
+    budget = HE_STANDARD_BUDGET_BITS.get(n)
+    if budget is not None and total > budget:
+        warnings.warn(
+            f"{what}: total coeff-modulus {total} bits exceeds the "
+            f"HE-standard 128-bit-security budget of {budget} bits at "
+            f"n={n}; this parameter set carries NO security claim",
+            stacklevel=3)
+
+
 _DEFAULT_CHAIN = {
     1024: ([30] * 5, 30),      # dev/test size
     2048: ([30] * 5, 30),      # dev/test size

@@ -176,7 +176,9 @@ class RuntimeVisitor:
             self._exec_if(stmt)
         elif isinstance(stmt, Return):
             if stmt.value is not None:
-                self.return_value = self._eval(stmt.value)
+                # unwrap so external callers (factory.decrypt) never see a
+                # LazyMaskedCiphertext view
+                self.return_value = unwrap_value(self._eval(stmt.value))
             raise ReturnStatementReached()
         elif isinstance(stmt, Function):
             raise RuntimeExecutionError(

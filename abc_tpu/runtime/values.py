@@ -232,6 +232,17 @@ class LazyMaskedCiphertext(AbstractCiphertext):
         if isinstance(value, Cleartext):
             new.plain_writes[idx] = value.scalar()
         elif isinstance(value, AbstractCiphertext):
+            if idx >= self.slots // 2:
+                # rotate_rows is the SEAL 2×(n/2) row rotation: it cannot
+                # move slot 0 into the second row, so a ciphertext-valued
+                # write there would mask rotated garbage. First-row-only is
+                # the supported convention for ciphertext writes; plain
+                # writes to any slot are fine.
+                raise RuntimeExecutionError(
+                    f"ciphertext-valued slot write at index {idx} >= "
+                    f"{self.slots // 2} (second SEAL row) is not reachable "
+                    "by rotate_rows; only first-row slots support "
+                    "ciphertext writes")
             moved = value.rotate_rows(-idx) if idx else value
             onehot = [0] * self.slots
             onehot[idx] = 1
