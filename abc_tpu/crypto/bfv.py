@@ -7,11 +7,18 @@ the evaluation path is expressed as per-limb uint32 array math over
 [L, n]-shaped RNS polynomials so it runs through either modarith engine:
 np64 (host/NumPy oracle) or jx32 (TPU/JAX, jit-able end to end).
 
-Key switching uses the special-prime (hybrid, SEAL ≥3.6 style) construction:
-  ksk_i = ( -(a_i·s + e_i) + P·ω_i·s2 ,  a_i )  over base q∪{P},
-where ω_i is the CRT basis element of q (ω_i ≡ δ_ij mod q_j), so that
-  Σ_i [d]_{q_i}·ksk_i  =  P·d·s2 + (small)  (mod qP),
-and the exact division by P (mod-switch down) yields d·s2 + tiny error mod q.
+Key switching uses the hybrid (SEAL ≥3.6 / Han–Ki style) construction with a
+configurable digit size k = BfvParams.ks_digits (number of special primes):
+the L data primes are partitioned into α = ⌈L/k⌉ digits Q_j (≤ k primes
+each), P = p_1···p_k, and
+  ksk_j = ( -(a_j·s + e_j) + P·W_j·s2 ,  a_j )   over base q∪P,
+  W_j   = Q̂_j·[Q̂_j^{-1}]_{Q_j}   (Q̂_j = q/Q_j; CRT basis element of Q_j),
+so that Σ_j ModUp([d]_{Q_j})·ksk_j = P·d·s2 + (small) (mod qP) — the fast
+base conversion's +u·Q_j overflow multiplies Q_j·W_j ≡ 0 (mod q) and the
+factor P kills it mod qP — and exact division by P (k successive centered
+divisions) yields d·s2 + tiny error mod q. k=1 degenerates to the
+special-prime construction (W_i = ω_i ≡ δ_ij mod q_j). The payoff: the
+expensive decomposition shrinks from L·(L+1) to α·(L+k) forward-NTT rows.
 
 Decryption/decoding run on the host with exact bigints (CRT compose +
 rounding) — matching the reference's CPU decrypt boundary (the
@@ -73,6 +80,8 @@ class BfvContext:
 
         L, P, q_big, t = params.L, params.special_prime, params.q, params.plain_modulus
         qs = params.data_primes
+        k, alpha = params.ks_digits, params.num_ks_digits
+        self.full = L + k                      # size of the extended base q∪P
 
         # --- scalar tables (host bigints → uint32 arrays) ---------------------
         host: Dict[str, np.ndarray] = {}
@@ -82,20 +91,56 @@ class BfvContext:
         delta = q_big // t
         host["delta_mod_q"] = np.asarray([delta % q for q in qs],
                                          dtype=np.uint32).reshape(-1, 1)
-        host["P_mod_q"] = np.asarray([P % q for q in qs],
-                                     dtype=np.uint32).reshape(-1, 1)
-        host["P_inv_mod_q"] = np.asarray([modinv(P, q) for q in qs],
-                                         dtype=np.uint32).reshape(-1, 1)
-        # P·ω_i mod q_j (0 at the P limb) for the ksk construction
-        factors = np.zeros((L, L + 1, 1), dtype=np.uint32)
-        for i, qi in enumerate(qs):
-            qhat = q_big // qi
-            omega = qhat * modinv(qhat % qi, qi)      # ≡ δ_ij (mod q_j)
-            for j, qj in enumerate(moduli):
-                factors[i, j, 0] = (P * omega) % qj
+        # P·W_j mod every modulus for the ksk construction (see module doc)
+        factors = np.zeros((alpha, self.full, 1), dtype=np.uint32)
+        digit_products = []
+        for j, grp in enumerate(params.digit_groups):
+            Qj = 1
+            for i in grp:
+                Qj *= qs[i]
+            digit_products.append(Qj)
+            qhat = q_big // Qj
+            w = qhat * modinv(qhat % Qj, Qj)          # ≡ δ_{jm} (mod Q_m)
+            for r, qr in enumerate(moduli):
+                factors[j, r, 0] = (P * w) % qr
         host["ks_factors"] = factors
+        # mod-switch-down: divide by one special prime at a time (specials in
+        # reverse order); per-step tables over the remaining base
+        self._msd_half = []
+        for s in range(k):
+            ps = params.special_primes[s]
+            rest = moduli[:L + s]
+            host[f"msd_p_mod_{s}"] = np.asarray(
+                [ps % r for r in rest], dtype=np.uint32).reshape(-1, 1)
+            host[f"msd_p_inv_{s}"] = np.asarray(
+                [modinv(ps, r) for r in rest], dtype=np.uint32).reshape(-1, 1)
+            self._msd_half.append(ps >> 1)
+        if k > 1:
+            # digit fast-base-conversion tables: per digit j and local limb i,
+            # y_{j,i} = [d·(Q_j/q_{j,i})^{-1}]_{q_{j,i}}, then
+            # D_{j,r} = Σ_i y_{j,i}·(Q_j/q_{j,i}) mod r. Short digit groups
+            # are padded with inv_qhat=0 rows (contribute exactly 0).
+            gather = np.zeros((alpha, k), dtype=np.int64)
+            inv_qhat = np.zeros((alpha, k, 1), dtype=np.uint32)
+            q_src = np.ones((alpha, k, 1), dtype=np.uint32) * np.uint32(qs[0])
+            qhat_full = np.zeros((alpha, k, self.full, 1), dtype=np.uint32)
+            for j, grp in enumerate(params.digit_groups):
+                Qj = digit_products[j]
+                for i, gi in enumerate(grp):
+                    qi = qs[gi]
+                    qh = Qj // qi
+                    gather[j, i] = gi
+                    q_src[j, i, 0] = qi
+                    inv_qhat[j, i, 0] = modinv(qh % qi, qi)
+                    for r, qr in enumerate(moduli):
+                        qhat_full[j, i, r, 0] = qh % qr
+            self._dec_gather = gather
+            host["dec_inv_qhat"] = inv_qhat
+            host["dec_q_src"] = q_src
+            host["dec_mu_src"] = np.vectorize(barrett_mu)(
+                q_src.astype(np.int64)).astype(np.uint32)
+            host["dec_qhat_full"] = qhat_full
         self._host = host
-        self.P_half = P >> 1
 
         # fast-decrypt tables: m = round(Σ_l y_l·t/q_l) mod t with
         # y_l = [v_l·(q/q_l)^{-1}]_{q_l} (exact CRT scale-and-round; each
@@ -170,7 +215,7 @@ class BfvContext:
 
     # ------------------------------------------------------------------ keygen
     def _keygen(self) -> None:
-        L, full = self.params.L, self.params.L + 1
+        L, full = self.params.L, self.full
         self.s_coeffs = self._sample_ternary()
         self.s_ntt_full = self.hqp.fwd(self._lift_signed(self.s_coeffs, full))
         # public key over the data base q, NTT domain: (b = -(a·s+e), a)
@@ -182,13 +227,14 @@ class BfvContext:
 
     def _make_ksk(self, s2_ntt_full: np.ndarray) -> Tuple:
         """Key-switching key toward target secret s2 (NTT domain over q∪P):
-        (ksk_b, ksk_a), each [L, L+1, n], on the evaluation device."""
+        (ksk_b, ksk_a), each [α, L+k, n], on the evaluation device."""
         h = self.hqp
-        L, full, n = self.params.L, self.params.L + 1, self.params.n
-        ksk_b = np.empty((L, full, n), dtype=np.uint32)
-        ksk_a = np.empty((L, full, n), dtype=np.uint32)
+        full, n = self.full, self.params.n
+        alpha = self.params.num_ks_digits
+        ksk_b = np.empty((alpha, full, n), dtype=np.uint32)
+        ksk_a = np.empty((alpha, full, n), dtype=np.uint32)
         factors = self._host["ks_factors"]
-        for i in range(L):
+        for i in range(alpha):
             a_i = self._uniform_rns(full)
             e_i = h.fwd(self._lift_signed(self._sample_error(), full))
             term = h.engine.mul(s2_ntt_full, factors[i], h.q, h.mu)
@@ -210,7 +256,7 @@ class BfvContext:
     def get_galois_key(self, galois_elt: int) -> Tuple:
         if galois_elt not in self.galois_keys:
             gather, sign = self._galois_perm_host(galois_elt)
-            s_lift = self._lift_signed(self.s_coeffs, self.params.L + 1)
+            s_lift = self._lift_signed(self.s_coeffs, self.full)
             s_tau = self._apply_automorphism_host(s_lift, gather, sign)
             self.galois_keys[galois_elt] = self._make_ksk(self.hqp.fwd(s_tau))
         return self.galois_keys[galois_elt]
@@ -438,21 +484,38 @@ class BfvContext:
 
     # ------------------------------------------------------------- key switching
     def _decompose_ntt(self, d):
-        """RNS-decompose d ([L, n] coeff domain over q) and lift to the full
-        base q∪P in NTT domain: D [L, L+1, n]. This is the EXPENSIVE half of
-        a key switch (L·(L+1) forward NTTs) — hoisted_rotations computes it
-        once and reuses it across many Galois elements."""
-        L, full, n = self.params.L, self.params.L + 1, self.params.n
+        """RNS-decompose d ([L, n] coeff domain over q) into α hybrid digits
+        and lift each to the full base q∪P in NTT domain: D [α, L+k, n].
+        This is the EXPENSIVE half of a key switch (α·(L+k) forward NTTs) —
+        hoisted_rotations computes it once and reuses it across many Galois
+        elements."""
+        L, full, n = self.params.L, self.full, self.params.n
+        k, alpha = self.params.ks_digits, self.params.num_ks_digits
         xp = _xp(d)
         q_full = self._tab["q_full"].reshape(1, full, 1)
-        lifted = xp.broadcast_to(d[:, None, :], (L, full, n))
-        lifted = xp.where(lifted >= q_full, lifted - q_full, lifted)
-        return self.ntt_qp.fwd(lifted)
+        if k == 1:
+            # single-limb digits: the lift is a conditional subtract
+            # (uniform 30-bit primes), no multiplies needed
+            lifted = xp.broadcast_to(d[:, None, :], (L, full, n))
+            lifted = xp.where(lifted >= q_full, lifted - q_full, lifted)
+            return self.ntt_qp.fwd(lifted)
+        # k ≥ 2: fast base conversion of each digit [d]_{Q_j} to q∪P
+        mu_full = self._tab["mu_full"].reshape(1, full, 1)
+        y_src = d[self._dec_gather.reshape(-1)].reshape(alpha, k, n)
+        y = self.engine.mul(y_src, self._tab["dec_inv_qhat"],
+                            self._tab["dec_q_src"], self._tab["dec_mu_src"])
+        D = None
+        for i in range(k):
+            term = self.engine.mul(
+                xp.broadcast_to(y[:, i:i + 1, :], (alpha, full, n)),
+                self._tab["dec_qhat_full"][:, i], q_full, mu_full)
+            D = term if D is None else self.engine.add(D, term, q_full)
+        return self.ntt_qp.fwd(D)
 
     def _ks_inner(self, D, ksk_b, ksk_a) -> Tuple:
         """Inner product of a decomposition D with a switching key, then
         mod-switch down: the CHEAP half of a key switch."""
-        full = self.params.L + 1
+        full = self.full
         q_full = self._tab["q_full"].reshape(1, full, 1)
         mu_full = self._tab["mu_full"].reshape(1, full, 1)
         tb = self.engine.mul(D, ksk_b, q_full, mu_full)
@@ -487,18 +550,24 @@ class BfvContext:
         return self._ks_inner(self._decompose_ntt(d), ksk_b, ksk_a)
 
     def _mod_switch_down(self, x):
-        """[L+1, n] over q∪P → [L, n] over q: (x − centered([x]_P))·P^{-1}."""
-        L = self.params.L
+        """[L+k, n] over q∪P → [L, n] over q: k successive exact centered
+        divisions (x − centered([x]_{p_s}))·p_s^{-1}, last special first."""
+        L, k = self.params.L, self.params.ks_digits
         xp = _xp(x)
-        x_q, x_P = x[:L], x[L]
-        qv = self.q_q
-        x_P_red = xp.where(x_P >= qv, x_P - qv, x_P)    # uniform prime sizes
-        over_half = x_P > _xp(x).uint32(self.P_half)
-        corr = xp.where(over_half,
-                        self.engine.sub(x_P_red, self._tab["P_mod_q"], qv),
-                        x_P_red)
-        diff = self.engine.sub(x_q, corr, qv)
-        return self.engine.mul(diff, self._tab["P_inv_mod_q"], qv, self.mu_q)
+        for s in reversed(range(k)):
+            rest = L + s
+            x_rest, x_p = x[:rest], x[rest]
+            qv = self._tab["q_full"][:rest]
+            muv = self._tab["mu_full"][:rest]
+            x_p_red = xp.where(x_p >= qv, x_p - qv, x_p)  # uniform prime sizes
+            over_half = x_p > xp.uint32(self._msd_half[s])
+            corr = xp.where(over_half,
+                            self.engine.sub(x_p_red,
+                                            self._tab[f"msd_p_mod_{s}"], qv),
+                            x_p_red)
+            diff = self.engine.sub(x_rest, corr, qv)
+            x = self.engine.mul(diff, self._tab[f"msd_p_inv_{s}"], qv, muv)
+        return x
 
     # ------------------------------------------------------------------ rotations
     def _galois_perm_host(self, g: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -69,24 +69,44 @@ class BfvParams:
     """Parameters for one BFV scheme instance."""
 
     n: int
-    coeff_modulus: List[int]          # data primes + special prime (last)
+    coeff_modulus: List[int]          # data primes + ks_digits special primes (last)
     plain_modulus: int                # t, prime ≡ 1 (mod 2n) for batching
     engine: str = "np64"              # modarith engine: np64 (CPU) | jx32 (TPU)
     seed: Optional[int] = None        # deterministic keygen/encryption for tests
     error_std: float = 3.2            # discrete gaussian σ (SEAL default)
+    ks_digits: int = 1                # hybrid key-switch digit size k = number
+                                      # of special primes; digits = ceil(L/k)
 
     @property
     def data_primes(self) -> List[int]:
-        return self.coeff_modulus[:-1]
+        return self.coeff_modulus[:self.L]
+
+    @property
+    def special_primes(self) -> List[int]:
+        """The k key-switching special primes (trailing moduli)."""
+        return self.coeff_modulus[self.L:]
 
     @property
     def special_prime(self) -> int:
-        return self.coeff_modulus[-1]
+        """P = product of the special primes (the key-switch scaling factor)."""
+        return reduce(lambda a, b: a * b, self.special_primes, 1)
 
     @property
     def L(self) -> int:
-        """Number of data limbs (excludes the special prime)."""
-        return len(self.coeff_modulus) - 1
+        """Number of data limbs (excludes the special primes)."""
+        return len(self.coeff_modulus) - self.ks_digits
+
+    @property
+    def num_ks_digits(self) -> int:
+        """α = number of key-switch decomposition digits."""
+        return -(-self.L // self.ks_digits)
+
+    @property
+    def digit_groups(self) -> List[List[int]]:
+        """Data-prime index groups per key-switch digit (size ≤ k each)."""
+        k = self.ks_digits
+        return [list(range(j * k, min((j + 1) * k, self.L)))
+                for j in range(self.num_ks_digits)]
 
     @property
     def q(self) -> int:
@@ -103,13 +123,25 @@ class BfvParams:
 
     @staticmethod
     def create(n: int, engine: str = "np64", plain_bits: int = 20,
-               seed: Optional[int] = None) -> "BfvParams":
-        """BFVDefault-style preset (ref: SealCiphertextFactory.cpp:72-100)."""
+               seed: Optional[int] = None, ks_digits: int = 1) -> "BfvParams":
+        """BFVDefault-style preset (ref: SealCiphertextFactory.cpp:72-100).
+
+        ks_digits=k > 1 selects hybrid key switching with digit size k
+        (k special primes): the key-switch decomposition shrinks from
+        L·(L+1) to ceil(L/k)·(L+k) NTT rows at the cost of k−1 extra
+        30-bit moduli against the HE-standard budget (a warning is emitted
+        if the total goes over)."""
         if n not in _DEFAULT_CHAIN:
             raise ValueError(f"no default parameter chain for n={n}")
         sizes, special_bits = _DEFAULT_CHAIN[n]
         assert all(b == special_bits for b in sizes), "presets use uniform primes"
+        if ks_digits < 1 or ks_digits > len(sizes):
+            raise ValueError(f"ks_digits must be in [1, L={len(sizes)}]")
         t = gen_ntt_primes(plain_bits, 1, n)[0]
-        primes = gen_ntt_primes(special_bits, len(sizes) + 1, n, exclude=[t])
+        primes = gen_ntt_primes(special_bits, len(sizes) + ks_digits, n,
+                                exclude=[t])
+        if n >= 8192:   # dev presets (n ≤ 4096) are documented as insecure
+            check_modulus_budget(
+                n, primes, what=f"BfvParams(n={n}, ks_digits={ks_digits})")
         return BfvParams(n=n, coeff_modulus=primes, plain_modulus=t,
-                         engine=engine, seed=seed)
+                         engine=engine, seed=seed, ks_digits=ks_digits)

@@ -68,7 +68,8 @@ def save_context(ctx: BfvContext, path: str, include_secret_key: bool = True
     meta = dict(n=ctx.params.n, coeff_modulus=ctx.params.coeff_modulus,
                 plain_modulus=ctx.params.plain_modulus,
                 engine=ctx.params.engine, seed=ctx.params.seed,
-                error_std=ctx.params.error_std)
+                error_std=ctx.params.error_std,
+                ks_digits=ctx.params.ks_digits)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
@@ -80,11 +81,12 @@ def load_context(path: str) -> BfvContext:
                        coeff_modulus=list(meta["coeff_modulus"]),
                        plain_modulus=meta["plain_modulus"],
                        engine=meta["engine"], seed=meta["seed"],
-                       error_std=meta["error_std"])
+                       error_std=meta["error_std"],
+                       ks_digits=meta.get("ks_digits", 1))
     ctx = BfvContext(params)
     if "s_coeffs" in data:
         ctx.s_coeffs = data["s_coeffs"]
-        full = params.L + 1
+        full = ctx.full
         ctx.s_ntt_full = ctx.hqp.fwd(ctx._lift_signed(ctx.s_coeffs, full))
     ctx.pk_b_ntt = data["pk_b_ntt"]
     ctx.pk_a_ntt = data["pk_a_ntt"]

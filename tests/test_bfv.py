@@ -218,3 +218,84 @@ def test_precomputed_operand_multiply(ctx):
     assert np.array_equal(np.asarray(plain.data), np.asarray(hoisted.data))
     assert np.array_equal(np.asarray(plain.data), np.asarray(both.data))
     assert dec_values(ctx, hoisted, 3) == [10, 18, 28]
+
+
+# ---------------------------------------------------------------- hybrid KS
+# k ≥ 2 digit decomposition (BfvParams.ks_digits): the SEAL ≥3.6 hybrid
+# key-switch variant. Semantics must be indistinguishable from k=1
+# (decrypts to the same plaintext, comparable noise budgets) while the
+# decomposition shrinks from L·(L+1) to ceil(L/k)·(L+k) NTT rows.
+
+@pytest.mark.parametrize("k", [2, 3, 5])
+def test_hybrid_ks_multiply_relin_decrypts(k):
+    ctx = BfvContext(BfvParams.create(1024, seed=42, ks_digits=k))
+    assert ctx.params.num_ks_digits == -(-ctx.params.L // k)
+    assert ctx.full == ctx.params.L + k
+    a = ctx.encrypt(ctx.encode([3, 1, 4, 1, 5]))
+    b = ctx.encrypt(ctx.encode([2, 7, 1, 8, 2]))
+    c = ctx.multiply(a, b)
+    assert ctx.decode(ctx.decrypt(c))[:5] == [6, 7, 4, 8, 10]
+    assert ctx.noise_budget(c) > 0
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_hybrid_ks_rotation_matrix(k):
+    ctx = BfvContext(BfvParams.create(1024, seed=1, ks_digits=k))
+    ct = ctx.encrypt(ctx.encode([1, 2, 3, 4]))
+    rot = ctx.rotate_rows(ct, 1)
+    assert ctx.decode(ctx.decrypt(rot))[:3] == [2, 3, 4]
+    back = ctx.rotate_rows(rot, -1)
+    assert ctx.decode(ctx.decrypt(back))[:4] == [1, 2, 3, 4]
+    cols = ctx.rotate_columns(ct)
+    dec = ctx.decode(ctx.decrypt(cols))
+    assert dec[512:516] == [1, 2, 3, 4]
+
+
+def test_hybrid_ks_matches_k1_semantics():
+    """Same plaintext program under k=1 and k=2 decrypts identically
+    (noise differs; the message must not)."""
+    results = {}
+    for k in (1, 2):
+        ctx = BfvContext(BfvParams.create(1024, seed=9, ks_digits=k))
+        a = ctx.encrypt(ctx.encode([6, 2, 8]))
+        b = ctx.encrypt(ctx.encode([3, 3, 3]))
+        c = ctx.multiply(a, b)
+        c = ctx.rotate_rows(c, 2)
+        c = ctx.multiply(c, a)
+        results[k] = ctx.decode(ctx.decrypt(c))[:3]
+    # a·b = [18,6,24,0,…]; rotate-left-2 → [24,0,…]; ×a → [24·6,0,0]
+    assert results[1] == results[2] == [144, 0, 0]
+
+
+def test_hybrid_ks_jx32_bit_exact():
+    """np64 and jx32 engines agree bit-for-bit under k=2 (same seed, same
+    rng draw order)."""
+    def run(engine):
+        ctx = BfvContext(BfvParams.create(1024, engine=engine, seed=11,
+                                          ks_digits=2))
+        ctx.get_relin_key()
+        ctx.get_galois_key(pow(3, 2, 2 * 1024))
+        a = ctx.encrypt(ctx.encode([3, 1, 4, 1, 5]))
+        b = ctx.encrypt(ctx.encode([2, 7, 1, 8, 2]))
+        c = ctx.rotate_rows(ctx.multiply(a, b), 2)
+        return np.asarray(c.data)
+    assert np.array_equal(run("np64"), run("jx32"))
+
+
+def test_hybrid_ks_hoisted_rotations(ctx):
+    ctx2 = BfvContext(BfvParams.create(1024, seed=5, ks_digits=2))
+    ct = ctx2.encrypt(ctx2.encode([10, 20, 30, 40, 50]))
+    outs = ctx2.hoisted_rotations(ct, [0, 1, 2])
+    assert ctx2.decode(ctx2.decrypt(outs[0]))[:5] == [10, 20, 30, 40, 50]
+    assert ctx2.decode(ctx2.decrypt(outs[1]))[:4] == [20, 30, 40, 50]
+    assert ctx2.decode(ctx2.decrypt(outs[2]))[:3] == [30, 40, 50]
+
+
+def test_hybrid_ks_decompose_row_count():
+    """The decomposition NTT batch shrinks: [α, L+k, n] not [L, L+1, n]."""
+    ctx = BfvContext(BfvParams.create(1024, seed=3, ks_digits=2))
+    L = ctx.params.L
+    d = ctx._uniform_rns(L)
+    D = ctx._decompose_ntt(d)
+    assert D.shape == (ctx.params.num_ks_digits, L + 2, 1024)
+    assert ctx.params.num_ks_digits * (L + 2) < L * (L + 1)
