@@ -66,14 +66,27 @@ class DistCkksMultiplier:
         self.q_cols = ctx._tab["q_full"][self.cols_idx].reshape(1, L + 1, 1)
         self.mu_cols = ctx._tab["mu_full"][self.cols_idx].reshape(1, L + 1, 1)
 
-        # switching key, device-placed with the coefficient sharding
+        # switching key, device-placed with the coefficient sharding.
+        # make_array_from_callback (not device_put) so construction also
+        # works when the mesh spans multiple PROCESSES (multihost.py):
+        # each process materializes only its addressable coeff slices.
         ksk_b_full, ksk_a_full = ctx.get_relin_key()
         sh = NamedSharding(mesh, P(None, None, axis))
-        self.ksk_b = jax.device_put(ksk_b_full[:L][:, self.cols_idx], sh)
-        self.ksk_a = jax.device_put(ksk_a_full[:L][:, self.cols_idx], sh)
+        kb = np.asarray(ksk_b_full)[:L][:, self.cols_idx]
+        ka = np.asarray(ksk_a_full)[:L][:, self.cols_idx]
+        self.ksk_b = jax.make_array_from_callback(
+            kb.shape, sh, lambda idx: kb[idx])
+        self.ksk_a = jax.make_array_from_callback(
+            ka.shape, sh, lambda idx: ka[idx])
 
-    def __call__(self, a_data, b_data) -> Tuple:
-        """[2, L, n] × [2, L, n] → [2, L, n], relinearized, coeff-sharded."""
+    def __call__(self, a_data, b_data, ksk_b=None, ksk_a=None) -> Tuple:
+        """[2, L, n] × [2, L, n] → [2, L, n], relinearized, coeff-sharded.
+
+        ksk_b/ksk_a default to the construction-time keys; multi-process
+        callers must pass them as ARGUMENTS (jit cannot close over arrays
+        spanning non-addressable devices)."""
+        if ksk_b is None:
+            ksk_b, ksk_a = self.ksk_b, self.ksk_a
         ctx, L = self.ctx, self.level
         e = jx32
         fa = self.fwd_q(a_data)
@@ -89,8 +102,8 @@ class DistCkksMultiplier:
         lifted = jnp.broadcast_to(data[2][:, None, :], (L, L + 1, n))
         lifted = jnp.where(lifted >= self.q_cols, lifted - self.q_cols, lifted)
         Dm = self.fwd_qp(lifted)
-        tb = e.mul(Dm, self.ksk_b, self.q_cols, self.mu_cols)
-        ta = e.mul(Dm, self.ksk_a, self.q_cols, self.mu_cols)
+        tb = e.mul(Dm, ksk_b, self.q_cols, self.mu_cols)
+        ta = e.mul(Dm, ksk_a, self.q_cols, self.mu_cols)
         q_flat = self.q_cols[0]
         acc_b, acc_a = tb[0], ta[0]
         for k in range(1, L):
