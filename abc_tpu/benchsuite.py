@@ -205,11 +205,30 @@ CONFIGS = {
 }
 
 
-def run_suite(configs=None) -> None:
+# shorter chains for the driver-run bench artifact (bench.py default mode):
+# enough to amortize dispatch, small enough to keep the whole suite < ~5 min
+_FAST_KW = {
+    2: {"chain": 512},
+    3: {"chain": 128},
+    5: {"chain": 64},
+}
+
+
+def run_suite_dict(configs=None, fast: bool = False) -> Dict[str, Dict]:
+    """Run the staged suite and return {config name: result dict} (used by
+    bench.py to embed all five BASELINE configs in the one-line artifact)."""
+    out: Dict[str, Dict] = {}
     for k in sorted(configs or CONFIGS):
+        kw = _FAST_KW.get(k, {}) if fast else {}
         try:
-            print(json.dumps(CONFIGS[k]()), flush=True)
+            out[f"config{k}"] = CONFIGS[k](**kw)
         except Exception as exc:  # keep the suite going
-            print(json.dumps({"metric": f"config{k} (failed)",
-                              "value": 0.0, "unit": "-", "vs_baseline": 0.0,
-                              "error": str(exc)[:200]}), flush=True)
+            out[f"config{k}"] = {"metric": f"config{k} (failed)",
+                                 "value": 0.0, "unit": "-",
+                                 "vs_baseline": 0.0, "error": str(exc)[:200]}
+    return out
+
+
+def run_suite(configs=None) -> None:
+    for result in run_suite_dict(configs).values():
+        print(json.dumps(result), flush=True)

@@ -247,13 +247,48 @@ class BfvContext:
         # numpy constants are always trace-safe.
         return ksk_b, ksk_a
 
+    # Key plumbing for whole-program jit (runtime/jit_executor.py): a
+    # recording pass collects WHICH keys a program uses; an override dict
+    # then feeds them back as jit ARGUMENTS (tracers) so switching keys are
+    # executable inputs, not baked trace constants — at n=16384 each key is
+    # [α, L+k, 16384]·2 uint32 ≈ 23 MB, and constants both bloat the
+    # executable and force a recompile on key rotation.
+    def record_key_requests(self, store) -> None:
+        """store: a set collecting key ids ("relin" / "galois_<g>"), or None
+        to stop recording."""
+        self._key_requests = store
+
+    def set_key_overrides(self, overrides) -> None:
+        """overrides: {key id: (ksk_b, ksk_a)} whose arrays (possibly
+        tracers) are returned by the getters instead of the stored keys."""
+        self._key_overrides = overrides
+
+    def materialize_key(self, key_id: str) -> Tuple:
+        """Host (trace-safe) arrays for a recorded key id."""
+        if key_id == "relin":
+            return self.get_relin_key()
+        assert key_id.startswith("galois_"), key_id
+        return self.get_galois_key(int(key_id[len("galois_"):]))
+
     def get_relin_key(self) -> Tuple:
+        req = getattr(self, "_key_requests", None)
+        if req is not None:
+            req.add("relin")
+        ov = getattr(self, "_key_overrides", None)
+        if ov and "relin" in ov:
+            return ov["relin"]
         if self.relin_key is None:
             s2 = self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
             self.relin_key = self._make_ksk(s2)
         return self.relin_key
 
     def get_galois_key(self, galois_elt: int) -> Tuple:
+        req = getattr(self, "_key_requests", None)
+        if req is not None:
+            req.add(f"galois_{galois_elt}")
+        ov = getattr(self, "_key_overrides", None)
+        if ov and f"galois_{galois_elt}" in ov:
+            return ov[f"galois_{galois_elt}"]
         if galois_elt not in self.galois_keys:
             gather, sign = self._galois_perm_host(galois_elt)
             s_lift = self._lift_signed(self.s_coeffs, self.full)

@@ -224,13 +224,38 @@ class CkksContext:
             ksk_a[i] = a_i
         return ksk_b, ksk_a
 
+    # key plumbing for whole-program jit — see BfvContext.record_key_requests
+    def record_key_requests(self, store) -> None:
+        self._key_requests = store
+
+    def set_key_overrides(self, overrides) -> None:
+        self._key_overrides = overrides
+
+    def materialize_key(self, key_id: str) -> Tuple:
+        if key_id == "relin":
+            return self.get_relin_key()
+        assert key_id.startswith("galois_"), key_id
+        return self.get_galois_key(int(key_id[len("galois_"):]))
+
     def get_relin_key(self) -> Tuple:
+        req = getattr(self, "_key_requests", None)
+        if req is not None:
+            req.add("relin")
+        ov = getattr(self, "_key_overrides", None)
+        if ov and "relin" in ov:
+            return ov["relin"]
         if self.relin_key is None:
             s2 = self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
             self.relin_key = self._make_ksk(s2)
         return self.relin_key
 
     def get_galois_key(self, g: int) -> Tuple:
+        req = getattr(self, "_key_requests", None)
+        if req is not None:
+            req.add(f"galois_{g}")
+        ov = getattr(self, "_key_overrides", None)
+        if ov and f"galois_{g}" in ov:
+            return ov[f"galois_{g}"]
         if g not in self.galois_keys:
             gather, sign = self._galois_perm_host(g)
             L = self.params.L

@@ -83,6 +83,93 @@ def make_multichip_step(ctx: BfvContext, mesh: Mesh, steps: int = 1):
     return jax.jit(sharded)
 
 
+def run_production_dryrun(n_devices: int, verbose: bool = True) -> dict:
+    """Production-shape multichip dryrun (BASELINE configs 2/5 sizes):
+
+      * BFV n=8192 batched rotate step on the dp × limb mesh — the
+        key-switch decomposition contraction psums over "limb";
+      * CKKS n=32768 (BASELINE config 5) multiply+relin with coefficients
+        sharded over all devices — distributed-NTT ppermute exchanges.
+
+    Returns (and prints) per-phase collective-traffic censuses from the
+    compiled HLO: table construction, VMEM/HBM footprints and psum widths
+    all change at production size, so the tiny-shape dryrun alone is not
+    evidence the production program compiles. CPU-mesh execution is slow
+    but one step of each is enough to prove compile + execute + decrypt."""
+    import json as _json
+    import time as _time
+
+    from abc_tpu.parallel.report import collective_report
+
+    devices = jax.devices()
+    dp = 2 if (n_devices % 2 == 0 and n_devices >= 4) else 1
+    limb = n_devices // dp
+    mesh = make_mesh(dp=dp, limb=limb, devices=devices)
+    n = 8192
+    # smallest multiple of the limb axis ≥ the n=8192 preset's 6 data limbs
+    data_limbs = limb * (-(-6 // limb))
+    ctx = build_context(n=n, data_limbs=data_limbs, seed=17)
+    B = 2 * dp
+    batch_vals = [[j + 2 for j in range(4)] for _ in range(B)]
+    a = jnp.stack([jnp.asarray(np.asarray(ctx.encrypt(ctx.encode(v)).data))
+                   for v in batch_vals])
+    b = jnp.stack([jnp.asarray(np.asarray(ctx.encrypt(ctx.encode(v)).data))
+                   for v in batch_vals])
+    ksk_b, ksk_a = ctx.get_galois_key(pow(3, 1, 2 * n))
+    step = make_multichip_step(ctx, mesh, steps=1)
+    t0 = _time.perf_counter()
+    out = jax.block_until_ready(step(a, b, ksk_b, ksk_a))
+    bfv_ms = (_time.perf_counter() - t0) * 1e3
+    from abc_tpu.crypto.bfv import BfvCiphertext
+    got = ctx.decode(ctx.decrypt(BfvCiphertext(np.asarray(out[0]))))[:3]
+    expected = [2 * v for v in batch_vals[0][1:4]]
+    assert got == expected, f"production BFV dryrun mismatch: {got}"
+    bfv_coll = collective_report(step, a, b, ksk_b, ksk_a)
+
+    # CKKS n=32768 coefficient-sharded multiply+relin (BASELINE config 5)
+    from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
+    from abc_tpu.parallel.dist_ckks import DistCkksMultiplier
+    from jax.sharding import Mesh as _Mesh
+
+    n_c = 32768
+    coeff_mesh = _Mesh(np.asarray(devices[:n_devices]), ("coeff",))
+    cparams = CkksParams.create(n_c, levels=8, engine="jx32", seed=23)
+    cctx = CkksContext(cparams)
+    cctx.get_relin_key()
+    dist = DistCkksMultiplier(cctx, coeff_mesh)
+    vals = np.linspace(0.1, 0.9, 64)
+    ca = cctx.encrypt(cctx.encode(vals))
+    cb = cctx.encrypt(cctx.encode(vals))
+    jitted = jax.jit(dist)
+    t0 = _time.perf_counter()
+    prod = jax.block_until_ready(
+        jitted(jnp.asarray(np.asarray(ca.data)),
+               jnp.asarray(np.asarray(cb.data))))
+    ckks_ms = (_time.perf_counter() - t0) * 1e3
+    ct = CkksCiphertext(np.asarray(prod), ca.level, ca.scale * cb.scale)
+    got_c = cctx.decode(cctx.decrypt(ct)).real[:64]
+    errc = float(np.max(np.abs(got_c - vals * vals)))
+    assert errc < 0.05, f"production CKKS dryrun mismatch: err={errc}"
+    ckks_coll = collective_report(jitted, jnp.asarray(np.asarray(ca.data)),
+                                  jnp.asarray(np.asarray(cb.data)))
+
+    report = {
+        "bfv": {"n": n, "L": ctx.params.L, "mesh": {"dp": dp, "limb": limb},
+                "batch": B, "step_ms_incl_compile": round(bfv_ms, 1),
+                "collectives_per_step": bfv_coll,
+                "axis_attribution": "all-reduce = key-switch psum over "
+                                    "'limb' (ICI); 'dp' moves zero bytes"},
+        "ckks": {"n": n_c, "L": cparams.L, "coeff_devices": n_devices,
+                 "step_ms_incl_compile": round(ckks_ms, 1),
+                 "collectives_per_step": ckks_coll,
+                 "axis_attribution": "collective-permute = distributed-NTT "
+                                     "butterfly exchanges over 'coeff'"},
+    }
+    if verbose:
+        print("dryrun production shapes OK: " + _json.dumps(report))
+    return report
+
+
 def run_dryrun(n_devices: int, n: int = 256, verbose: bool = True) -> None:
     """Build an n_devices mesh, jit the full sharded step, run one step on
     tiny shapes, and check the decrypted result against the expected values."""
@@ -142,3 +229,9 @@ def run_dryrun(n_devices: int, n: int = 256, verbose: bool = True) -> None:
     if verbose:
         print(f"dryrun coeff-sharded CKKS OK: coeff={n_devices}, n={n}, "
               f"max err {np.max(np.abs(got_c - vals * vals)):.4f}")
+
+    # production shapes (BFV n=8192, CKKS n=32768) with collective census —
+    # slow on a CPU mesh but one step each; ABC_TPU_DRYRUN_FAST=1 skips
+    import os as _os
+    if not _os.environ.get("ABC_TPU_DRYRUN_FAST"):
+        run_production_dryrun(n_devices, verbose=verbose)

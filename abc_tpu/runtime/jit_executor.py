@@ -104,11 +104,39 @@ class JittedProgram:
                         f"unsupported output value for {name!r}")
             return out_arrays
 
-        # trace once eagerly-ish via jit; galois/relin keys generate at trace
-        # time (host) and bake in as constants
-        self._jitted = jax.jit(fn)
+        # Keys enter the executable as ARGUMENTS, not trace constants:
+        # at n=16384 each switching key is [α, L+k, n]·2 uint32 ≈ 23 MB, and
+        # baking them in bloats the executable and recompiles on key change.
+        # Pass 1 records which keys the program requests (jax.eval_shape —
+        # abstract, compiles nothing); pass 2 jits with an override dict.
+        ctx = getattr(factory, "context", None)
+        self._key_args: Dict[str, tuple] = {}
+        self._keyed = ctx is not None and hasattr(ctx, "record_key_requests")
+        if self._keyed:
+            requests = set()
+            ctx.record_key_requests(requests)
+            try:
+                jax.eval_shape(fn, self.secret_inputs)
+            finally:
+                ctx.record_key_requests(None)
+            self._key_args = {
+                k: tuple(np.asarray(x) for x in ctx.materialize_key(k))
+                for k in sorted(requests)}
+
+            def fn_keyed(secret_arrays, key_arrays):
+                ctx.set_key_overrides(key_arrays)
+                try:
+                    return fn(secret_arrays)
+                finally:
+                    ctx.set_key_overrides({})
+
+            self._jitted = jax.jit(fn_keyed)
+        else:
+            self._jitted = jax.jit(fn)
 
     def run_raw(self, secret_arrays: Dict[str, object]) -> Dict[str, object]:
+        if self._keyed:
+            return self._jitted(secret_arrays, self._key_args)
         return self._jitted(secret_arrays)
 
     def run(self) -> Dict[str, List]:

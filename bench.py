@@ -1,28 +1,29 @@
-"""Benchmark harness: BFV n=8192 ciphertext-ciphertext multiply +
-relinearization throughput (BASELINE.json config 2).
+"""Benchmark harness — prints ONE JSON line carrying the BASELINE.json
+headline metrics (the driver records the last line in BENCH_r{N}.json):
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+  value / vs_baseline  : BFV n=8192 batched ct-ct multiply+relinearization
+                         throughput (BASELINE config 2); baseline = SEAL on
+                         the reference's m5n.xlarge, ~40 ops/s (documented
+                         stand-in; the reference publishes no numbers,
+                         BASELINE.md, examples/main.cpp:39-46).
+  "ntt"                : RNS-NTT butterflies/s/chip @ n=16384 — the first
+                         metric named by BASELINE.json — measured on the
+                         Pallas fused-butterfly kernel over the full L=14
+                         limb chain, plus % of the VPU speed-of-light.
+  "suite"              : all five BASELINE staged configs (cardio-on-dummy,
+                         mult+relin, batched hamming w/ rotations, cone
+                         rewriting, CKKS n=32768), measured fresh each run.
 
-vs_baseline reference point: the reference (MarbleHE/ABC) dispatches this op
-to Microsoft SEAL on CPU (SealCiphertext.cpp:121-124); SEAL 3.6 BFV
-multiply+relinearize at n=8192 on the reference's benchmark hardware
-(m5n.xlarge) measures ≈ 25 ms/op ≈ 40 ops/s. The reference repo itself
-publishes no numbers (BASELINE.md), so 40 ops/s is the documented stand-in.
+Speed-of-light model (docs/DESIGN_NOTES.md): the roll-based Pallas butterfly
+costs ~20 u32 VPU ops/element/stage = ~40 ops per butterfly (2 elements);
+v5e VPU ≈ 8×128 lanes × 4 ALUs @ ~0.94 GHz ≈ 3.85e12 u32 ops/s, so
+speed-of-light ≈ 9.6e10 butterflies/s/chip. The NTT baseline stand-in is
+SEAL's CPU NTT at n=16384 ≈ 0.57 ms/row ≈ 2.0e8 butterflies/s (m5n.xlarge,
+single thread, documented stand-in — BASELINE.md).
 
-Robustness: the TPU tunnel in this environment can wedge; the device run
-happens in a SUBPROCESS with a hard timeout, falling back to a measured CPU
-number (clearly labeled) rather than hanging the driver.
-
-Measured on this rig (TPU v5e, Pallas fused-NTT path): a single dependent
-512-op chain runs ≈ 3580 ops/s (0.28 ms per sequential mult+relin, ~89×
-the SEAL CPU baseline); vmapping BATCH=8 independent chains (the
-BASELINE.json metric is *batched* mult+relin/s) ≈ 4100-4230 ops/s ≈ 102-105×
-(4097 ops/s re-measured 2026-08-19). The op is fully generic — no
-fixed-operand NTT hoisting (precompute_mult_operand) is used, although the
-chain's constant multiplier would legitimately allow it.
-Chains are DEPENDENT inside (out feeds the next multiply) under
-lax.fori_loop, so depth still dominates; the long chain also amortizes
-the axon tunnel's 25-45 ms per-dispatch RPC cost, which is a rig artifact.
+Robustness: the TPU tunnel in this environment can wedge; every device
+measurement runs in a SUBPROCESS with a hard timeout, falling back to a
+measured CPU number (clearly labeled) rather than hanging the driver.
 """
 
 from __future__ import annotations
@@ -31,15 +32,20 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 SEAL_CPU_BASELINE_OPS_PER_S = 40.0
+SEAL_CPU_NTT_BUTTERFLIES_PER_S = 2.0e8
+VPU_SOL_BUTTERFLIES_PER_S = 9.63e10
 N = 8192
+N_NTT = 16384
 CHAIN = 512        # dependent mult+relin ops chained per jitted call (TPU)
 BATCH = 8          # independent chains vmapped together ("batched" metric)
 CHAIN_CPU = 4      # the jx32-on-CPU fallback is ~100x slower per op
+CHAIN_NTT = 512    # dependent forward transforms chained per call
+CHAIN_NTT_CPU = 8
 REPEATS = 3        # timed calls
 TPU_TIMEOUT_S = 1500   # first-time jit compile on TPU can take minutes
+SUITE_TIMEOUT_S = 1500
 
 _WORKER = r"""
 import json, sys, time
@@ -49,14 +55,26 @@ if len(sys.argv) > 1 and sys.argv[1] == "cpu":
     jax.config.update("jax_platforms", "cpu")
 from abc_tpu.crypto.behz import BehzContext
 from abc_tpu.crypto.bfv import BfvCiphertext, BfvContext
+from abc_tpu.crypto.ntt import NttContext
 from abc_tpu.crypto.params import BfvParams
 
-N, REPEATS, BATCH = %d, %d, %d
+N, N_NTT, REPEATS, BATCH = %d, %d, %d, %d
 backend = jax.default_backend()
 CHAIN = %d if backend == "tpu" else %d
+CHAIN_NTT = %d if backend == "tpu" else %d
+
+def timed(f, *args):
+    jax.block_until_ready(f(*args))
+    ts = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+# --- config 2: batched ct-ct mult+relin at n=8192 --------------------------
 ctx = BfvContext(BfvParams.create(N, engine="jx32", seed=123))
 ctx.get_relin_key()
-
 a = ctx.encrypt(ctx.encode([1, 2, 3, 4]))
 b = ctx.encrypt(ctx.encode([5, 6, 7, 8]))
 
@@ -67,32 +85,57 @@ def chain(x, y):
     return jax.lax.fori_loop(0, CHAIN, lambda i, v: mult(v, y), x)
 
 # BATCH independent dependent-chains vmapped into one executable: the
-# BASELINE.json metric is *batched* ct mult+relin/s (production serving
-# batches many ciphertexts); the chains stay DEPENDENT inside so the
-# number still reflects depth, not just embarrassing parallelism.
+# BASELINE.json metric is *batched* ct mult+relin/s; the chains stay
+# DEPENDENT inside so the number still reflects depth.
 batched = jax.jit(jax.vmap(chain))
 arg_a = jnp.broadcast_to(jnp.asarray(np.asarray(a.data))[None],
                          (BATCH,) + a.data.shape)
 arg_b = jnp.broadcast_to(jnp.asarray(np.asarray(b.data))[None],
                          (BATCH,) + b.data.shape)
-jax.block_until_ready(batched(arg_a, arg_b))
-times = []
-for _ in range(REPEATS):
-    t0 = time.perf_counter()
-    jax.block_until_ready(batched(arg_a, arg_b))
-    times.append(time.perf_counter() - t0)
-print(json.dumps({"backend": backend,
-                  "ops_per_s": BATCH * CHAIN / min(times),
-                  "per_op_latency_ms": min(times) / CHAIN * 1e3 / BATCH}))
-""" % (N, REPEATS, BATCH, CHAIN, CHAIN_CPU)
+t_mult = timed(batched, arg_a, arg_b)
+
+# --- headline: RNS-NTT butterflies/s/chip @ n=16384 -------------------------
+# Full production limb chain (BFVDefault-style 13 data + 1 special prime);
+# dependent forward transforms chained so depth, not dispatch, dominates.
+p16 = BfvParams.create(N_NTT, engine="jx32", seed=5)
+moduli = list(p16.coeff_modulus)    # 13 data + 1 special prime = 14 rows
+ntt = NttContext(N_NTT, moduli, engine="jx32")
+rows = len(moduli)
+rng = np.random.default_rng(0)
+x0 = jnp.asarray(rng.integers(0, min(moduli), size=(rows, N_NTT),
+                              dtype=np.uint64).astype(np.uint32))
+
+@jax.jit
+def ntt_chain(v):
+    return jax.lax.fori_loop(0, CHAIN_NTT, lambda i, u: ntt.fwd(u), v)
+
+t_ntt = timed(ntt_chain, x0)
+butterflies_per_fwd = rows * (N_NTT // 2) * (N_NTT.bit_length() - 1)
+bfs = CHAIN_NTT * butterflies_per_fwd / t_ntt
+
+print(json.dumps({
+    "backend": backend,
+    "ops_per_s": BATCH * CHAIN / t_mult,
+    "per_op_latency_ms": t_mult / CHAIN * 1e3 / BATCH,
+    "ntt_butterflies_per_s": bfs,
+    "ntt_rows": rows,
+    "ntt_ms_per_fwd": t_ntt / CHAIN_NTT * 1e3,
+}))
+""" % (N, N_NTT, REPEATS, BATCH, CHAIN, CHAIN_CPU, CHAIN_NTT, CHAIN_NTT_CPU)
+
+_SUITE_WORKER = r"""
+import json, sys
+from abc_tpu.benchsuite import run_suite_dict
+print(json.dumps(run_suite_dict(fast=True)))
+"""
 
 
-def _run_worker(mode: str, timeout: float):
+def _run_worker(code: str, mode: str, timeout: float):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + \
         os.pathsep + env.get("PYTHONPATH", "")
     try:
-        r = subprocess.run([sys.executable, "-c", _WORKER, mode],
+        r = subprocess.run([sys.executable, "-c", code, mode],
                            capture_output=True, text=True, timeout=timeout,
                            env=env)
     except subprocess.TimeoutExpired:
@@ -114,25 +157,40 @@ def main() -> None:
         picks = [int(x) for x in sys.argv[2:]] or None
         run_suite(picks)
         return
-    result = _run_worker("tpu", TPU_TIMEOUT_S)
+    result = _run_worker(_WORKER, "tpu", TPU_TIMEOUT_S)
     suffix = ""
     if result is None or result.get("backend") == "cpu":
         # device unreachable (wedged tunnel) → measured CPU fallback
-        result = _run_worker("cpu", TPU_TIMEOUT_S)
+        result = _run_worker(_WORKER, "cpu", TPU_TIMEOUT_S)
         suffix = " (cpu-fallback; tpu tunnel unavailable)"
         if result is None:
             print(json.dumps({"metric": f"bfv_n{N}_ct_mult_relin (failed)",
                               "value": 0.0, "unit": "ops/s",
                               "vs_baseline": 0.0}))
             return
+    suite = _run_worker(_SUITE_WORKER, "suite", SUITE_TIMEOUT_S)
     ops = result["ops_per_s"]
-    print(json.dumps({
+    bfs = result.get("ntt_butterflies_per_s", 0.0)
+    line = {
         "metric": f"bfv_n{N}_ct_mult_relin_batched{BATCH} "
                   f"({result['backend']}{suffix})",
         "value": round(ops, 2),
         "unit": "ops/s",
         "vs_baseline": round(ops / SEAL_CPU_BASELINE_OPS_PER_S, 2),
-    }))
+        "ntt": {
+            "metric": f"rns_ntt_butterflies_per_s_chip_n{N_NTT}"
+                      f"_L{result.get('ntt_rows', 0)}",
+            "value": round(bfs / 1e9, 3),
+            "unit": "Gbutterflies/s",
+            "ms_per_fwd_row_chain": round(result.get("ntt_ms_per_fwd", 0), 4),
+            "pct_vpu_speed_of_light":
+                round(100 * bfs / VPU_SOL_BUTTERFLIES_PER_S, 1),
+            "vs_baseline": round(bfs / SEAL_CPU_NTT_BUTTERFLIES_PER_S, 2),
+        },
+        "suite": suite if suite is not None
+        else {"error": "suite worker failed/timed out"},
+    }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
