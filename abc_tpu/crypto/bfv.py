@@ -633,15 +633,48 @@ class BfvContext:
             self._perm_cache[g] = self._galois_perm_host(g)
         return self._perm_cache[g]
 
+    def _decompose_cached(self, ct_data):
+        """Key-switch decomposition of ct_data[1] with a small
+        identity-keyed cache: repeated rotations of the SAME ciphertext
+        (kernel stencils, BSGS matvec, rotate-reduce fan-outs) share the
+        expensive α·(L+k) forward NTTs — HElib/SEAL-style hoisting applied
+        TRANSPARENTLY by every rotation instead of only via the explicit
+        hoisted_rotations API. Identity is verified with `is` (ids recycle);
+        entries are capped; tracer entries from finished traces can never
+        false-hit (a later trace's tracers are different objects)."""
+        cache = getattr(self, "_dec_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+            cache = self._dec_cache = OrderedDict()
+        key = id(ct_data)
+        hit = cache.get(key)
+        if hit is not None and hit[0] is ct_data:
+            cache.move_to_end(key)
+            return hit[1]
+        D = self._decompose_ntt(ct_data[1])
+        cache[key] = (ct_data, D)
+        while len(cache) > 8:
+            cache.popitem(last=False)
+        return D
+
     def apply_galois(self, ct: BfvCiphertext, g: int) -> BfvCiphertext:
+        """Galois automorphism + key switch, in the HOISTED formulation:
+        decompose-NTT the untouched c1 (cacheable across rotations of the
+        same ct, _decompose_cached), permute the decomposition in the NTT
+        domain (exact — no signs there, _galois_perm_eval), then the cheap
+        inner-product half. Equivalent to permute-then-switch up to the
+        key-switch rounding term; decrypts identically (tests/test_linalg)."""
         if ct.size != 2:
             raise RuntimeExecutionError("relinearize before applying Galois")
-        gather, sign_pos = self._galois_perm(g)
         xp = _xp(ct.data)
-        out = ct.data[..., gather]
-        out = xp.where(sign_pos, out, self.engine.neg(out, self.q_q))
-        k0, k1 = self._key_switch(out[1], self.get_galois_key(g))
-        c0 = self.engine.add(out[0], k0, self.q_q)
+        D = self._decompose_cached(ct.data)
+        perm = self._galois_perm_eval(g)
+        ksk_b, ksk_a = self._ksk_device(self.get_galois_key(g))
+        k0, k1 = self._ks_inner(D[..., perm], ksk_b, ksk_a)
+        gather, sign_pos = self._galois_perm(g)
+        c0g = ct.data[0][..., gather]
+        c0g = xp.where(sign_pos, c0g, self.engine.neg(c0g, self.q_q))
+        c0 = self.engine.add(c0g, k0, self.q_q)
         return self._dbg_check(BfvCiphertext(xp.stack([c0, k1])))
 
     def _galois_perm_eval(self, g: int) -> np.ndarray:
@@ -676,7 +709,7 @@ class BfvContext:
             raise RuntimeExecutionError("relinearize before rotating")
         n = self.params.n
         xp = _xp(ct.data)
-        D = self._decompose_ntt(ct.data[1])           # hoisted: once
+        D = self._decompose_cached(ct.data)           # hoisted: once
         out = []
         for steps in steps_list:
             s = steps % (n // 2)

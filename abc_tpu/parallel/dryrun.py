@@ -50,29 +50,32 @@ def make_multichip_step(ctx: BfvContext, mesh: Mesh, steps: int = 1):
     gather, sign_pos = ctx._galois_perm(g)
     gather = jnp.asarray(np.asarray(gather))
     sign_pos = jnp.asarray(np.asarray(sign_pos))
+    perm_eval = jnp.asarray(ctx._galois_perm_eval(g))
     q_q = ctx.q_q
     q_full = ctx._tab["q_full"]
     mu_full = ctx._tab["mu_full"]
     e = ctx.engine
 
     def kernel(a, b, kb, ka):
-        # a, b: [Bl, 2, L, n] local batch shard
+        # a, b: [Bl, 2, L, n] local batch shard. Hoisted rotation form:
+        # decompose the UNtouched c1, permute the decomposition in the NTT
+        # domain (matches BfvContext.apply_galois bit-exactly).
         s = e.add(a, b, q_q)
-        # Galois automorphism (local permutation with signs)
-        out = s[..., gather]
-        out = jnp.where(sign_pos, out, e.neg(out, q_q))
-        d_all = out[:, 1]                                   # [Bl, L, n]
+        d_all = s[:, 1]                                     # [Bl, L, n]
         i = jax.lax.axis_index("limb")
         d_loc = jax.lax.dynamic_slice_in_dim(d_all, i * Lk, Lk, axis=1)
         pb, pa = jax.vmap(
-            lambda dd: _local_key_switch_partials(ctx, dd, kb, ka))(d_loc)
+            lambda dd: _local_key_switch_partials(ctx, dd, kb, ka,
+                                                  perm_eval=perm_eval))(d_loc)
         pb = _psum_mod(pb, q_full, mu_full, "limb", e)
         pa = _psum_mod(pa, q_full, mu_full, "limb", e)
         acc_b = ctx.ntt_qp.inv(pb)
         acc_a = ctx.ntt_qp.inv(pa)
         k0 = jax.vmap(ctx._mod_switch_down)(acc_b)
         k1 = jax.vmap(ctx._mod_switch_down)(acc_a)
-        c0 = e.add(out[:, 0], k0, q_q)
+        c0g = s[:, 0][..., gather]
+        c0g = jnp.where(sign_pos, c0g, e.neg(c0g, q_q))
+        c0 = e.add(c0g, k0, q_q)
         return jnp.stack([c0, k1], axis=1)                  # [Bl, 2, L, n]
 
     sharded = _shard_map(

@@ -45,12 +45,16 @@ def make_mesh(dp: int = 1, limb: int = 1,
     return Mesh(dev_array, ("dp", "limb"))
 
 
-def _local_key_switch_partials(ctx: BfvContext, d, ksk_b, ksk_a):
+def _local_key_switch_partials(ctx: BfvContext, d, ksk_b, ksk_a,
+                               perm_eval=None):
     """Per-shard key-switch work: lift + NTT + multiply THIS shard's
     decomposition limbs, returning partial accumulators over the full base.
 
     d:      [Lk, n]   this shard's decomposition-limb residues
     ksk_*:  [Lk, L+1, n] this shard's slice of the switching key
+    perm_eval: optional NTT-domain Galois permutation applied to the
+               decomposition AFTER its forward NTTs (the hoisted rotation
+               formulation, matching BfvContext.apply_galois)
     returns ([L+1, n], [L+1, n]) partial sums (pre-psum)
     """
     full = ctx.params.L + 1
@@ -62,6 +66,8 @@ def _local_key_switch_partials(ctx: BfvContext, d, ksk_b, ksk_a):
     lifted = jnp.broadcast_to(d[:, None, :], (Lk, full, n))
     lifted = jnp.where(lifted >= q_full, lifted - q_full, lifted)
     D = ctx.ntt_qp.fwd(lifted)
+    if perm_eval is not None:
+        D = D[..., perm_eval]
     tb = e.mul(D, ksk_b, q_full, mu_full)
     ta = e.mul(D, ksk_a, q_full, mu_full)
     # local accumulation (modular): fold over this shard's limbs
@@ -118,17 +124,39 @@ def sharded_key_switch(ctx: BfvContext, mesh: Mesh, d, ksk) -> Tuple:
 
 
 def sharded_rotate_rows(ctx: BfvContext, mesh: Mesh, ct_data, steps: int):
-    """Galois rotation with the key-switch contraction sharded over "limb"."""
+    """Galois rotation with the key-switch contraction sharded over "limb",
+    in the HOISTED formulation (decompose the untouched c1, permute the
+    decomposition in the NTT domain) — bit-identical to the single-device
+    BfvContext.apply_galois (tests/test_sharding.py)."""
     n = ctx.params.n
     steps = steps % (n // 2)
     if steps == 0:
         return ct_data
     g = pow(3, steps, 2 * n)
     gather, sign_pos = ctx._galois_perm(g)
+    perm_eval = jnp.asarray(ctx._galois_perm_eval(g))
     qv = ctx.q_q
-    out = ct_data[..., gather]
-    out = jnp.where(jnp.asarray(sign_pos), out, ctx.engine.neg(out, qv))
-    ksk = ctx.get_galois_key(g)
-    k0, k1 = sharded_key_switch(ctx, mesh, out[1], ksk)
-    c0 = ctx.engine.add(out[0], k0, qv)
+    ksk_b, ksk_a = ctx._ksk_device(ctx.get_galois_key(g))
+    full = ctx.params.L + 1
+
+    def kernel(d_shard, kb, ka):
+        acc_b, acc_a = _local_key_switch_partials(ctx, d_shard, kb, ka,
+                                                  perm_eval=perm_eval)
+        q_full = ctx._tab["q_full"]
+        mu_full = ctx._tab["mu_full"]
+        acc_b = _psum_mod(acc_b, q_full, mu_full, "limb", ctx.engine)
+        acc_a = _psum_mod(acc_a, q_full, mu_full, "limb", ctx.engine)
+        acc_b = ctx.ntt_qp.inv(acc_b)
+        acc_a = ctx.ntt_qp.inv(acc_a)
+        return ctx._mod_switch_down(acc_b), ctx._mod_switch_down(acc_a)
+
+    f = _shard_map(kernel, mesh=mesh,
+                   in_specs=(P("limb", None), P("limb", None, None),
+                             P("limb", None, None)),
+                   out_specs=(P(None, None), P(None, None)),
+                   check_vma=False)
+    k0, k1 = f(ct_data[1], ksk_b, ksk_a)
+    c0g = ct_data[0][..., gather]
+    c0g = jnp.where(jnp.asarray(sign_pos), c0g, ctx.engine.neg(c0g, qv))
+    c0 = ctx.engine.add(c0g, k0, qv)
     return jnp.stack([c0, k1])
