@@ -60,6 +60,13 @@ class BfvContext:
 
     def __init__(self, params: BfvParams):
         self.params = params
+        # operation counters (used by tests to assert the compiler/runtime
+        # issues the expected number of expensive ops: relinearizations,
+        # Galois key switches, key-switch decompositions and cache hits,
+        # BEHZ ct*ct multiplies)
+        self.counters: Dict[str, int] = {
+            "relin": 0, "galois": 0, "decomp": 0, "decomp_hit": 0,
+            "mult": 0}
         n, moduli = params.n, params.coeff_modulus
         bitsizes = {q.bit_length() for q in moduli}
         assert len(bitsizes) == 1, \
@@ -490,6 +497,7 @@ class BfvContext:
             self._behz = BehzContext(self.params, ntt_q=self.ntt_q)
         if a.size != 2 or b.size != 2:
             raise RuntimeExecutionError("multiply expects size-2 ciphertexts")
+        self.counters["mult"] += 1
         ct3 = BfvCiphertext(self._behz.multiply(a.data, b.data,
                                                 pre1=a_pre, pre2=b_pre))
         return self._dbg_check(self.relinearize(ct3) if relinearize else ct3)
@@ -511,6 +519,7 @@ class BfvContext:
             return ct
         if ct.size != 3:
             raise RuntimeExecutionError(f"cannot relinearize size-{ct.size}")
+        self.counters["relin"] += 1
         k0, k1 = self._key_switch(ct.data[2], self.get_relin_key())
         xp = _xp(ct.data)
         c0 = self.engine.add(ct.data[0], k0, self.q_q)
@@ -650,7 +659,9 @@ class BfvContext:
         hit = cache.get(key)
         if hit is not None and hit[0] is ct_data:
             cache.move_to_end(key)
+            self.counters["decomp_hit"] += 1
             return hit[1]
+        self.counters["decomp"] += 1
         D = self._decompose_ntt(ct_data[1])
         cache[key] = (ct_data, D)
         while len(cache) > 8:
@@ -666,6 +677,7 @@ class BfvContext:
         key-switch rounding term; decrypts identically (tests/test_linalg)."""
         if ct.size != 2:
             raise RuntimeExecutionError("relinearize before applying Galois")
+        self.counters["galois"] += 1
         xp = _xp(ct.data)
         D = self._decompose_cached(ct.data)
         perm = self._galois_perm_eval(g)
@@ -717,6 +729,7 @@ class BfvContext:
                 out.append(BfvCiphertext(ct.data))
                 continue
             g = pow(3, s, 2 * n)
+            self.counters["galois"] += 1
             perm = self._galois_perm_eval(g)
             ksk_b, ksk_a = self._ksk_device(self.get_galois_key(g))
             k0, k1 = self._ks_inner(D[..., perm], ksk_b, ksk_a)

@@ -18,8 +18,29 @@ from abc_tpu.runtime.values import AbstractCiphertext, Cleartext
 from abc_tpu.utils.errors import RuntimeExecutionError
 
 
+def _zero_pad(data, size: int):
+    """Pad a [k, L, n] ciphertext component stack with zero components."""
+    import numpy as np
+    if isinstance(data, np.ndarray):
+        xp = np
+    else:
+        import jax.numpy as xp
+    pad = xp.zeros((size - data.shape[0],) + data.shape[1:], dtype=data.dtype)
+    return xp.concatenate([data, pad])
+
+
 class TpuBfvCiphertext(AbstractCiphertext):
-    """Ciphertext handle dispatching to the BFV context (pure ops)."""
+    """Ciphertext handle dispatching to the BFV context (pure ops).
+
+    Relinearization is LAZY: multiply returns the raw size-3 BEHZ product
+    (the reference relinearizes after every multiply,
+    SealCiphertext.cpp:121-124 — here that key switch is deferred).
+    Size-3 ciphertexts flow freely through add/subtract (the shorter
+    operand is zero-padded) and plaintext ops, and decrypt/noise read them
+    directly (c0 + c1·s + c2·s²). The key switch runs only when a later
+    rotation or ciphertext multiply actually needs a size-2 operand — so an
+    accumulation tree of products costs at most ONE relinearization instead
+    of one per multiply (tests/test_lazy_relin.py asserts the counts)."""
 
     __slots__ = ("ct", "factory")
 
@@ -30,16 +51,34 @@ class TpuBfvCiphertext(AbstractCiphertext):
     def _ctx(self) -> BfvContext:
         return self.factory.context
 
-    # ctxt ⊕ ctxt — every multiply is relinearized immediately, matching the
-    # reference (SealCiphertext.cpp:121-124)
+    def _relin(self) -> BfvCiphertext:
+        """The size-2 form of this ciphertext (key switch if deferred)."""
+        return self._ctx().relinearize(self.ct)
+
+    def _aligned(self, other) -> tuple:
+        """Zero-pad the smaller of (self.ct, other.ct) so both have the
+        same size — adding a zero c2 component is exact and free compared
+        to relinearizing early."""
+        a, b = self.ct.data, other.ct.data
+        if a.shape[0] < b.shape[0]:
+            a = _zero_pad(a, b.shape[0])
+        elif b.shape[0] < a.shape[0]:
+            b = _zero_pad(b, a.shape[0])
+        return BfvCiphertext(a), BfvCiphertext(b)
+
     def add(self, other):
-        return TpuBfvCiphertext(self._ctx().add(self.ct, other.ct), self.factory)
+        a, b = self._aligned(other)
+        return TpuBfvCiphertext(self._ctx().add(a, b), self.factory)
 
     def subtract(self, other):
-        return TpuBfvCiphertext(self._ctx().sub(self.ct, other.ct), self.factory)
+        a, b = self._aligned(other)
+        return TpuBfvCiphertext(self._ctx().sub(a, b), self.factory)
 
     def multiply(self, other):
-        return TpuBfvCiphertext(self._ctx().multiply(self.ct, other.ct), self.factory)
+        a = self._relin()
+        b = other._relin() if other is not self else a
+        return TpuBfvCiphertext(
+            self._ctx().multiply(a, b, relinearize=False), self.factory)
 
     # ctxt ⊕ plain
     def _encode(self, cleartext: Cleartext) -> Plaintext:
@@ -62,10 +101,12 @@ class TpuBfvCiphertext(AbstractCiphertext):
             self._ctx().multiply_plain(self.ct, self._encode(other)), self.factory)
 
     def rotate_rows(self, steps: int):
-        return TpuBfvCiphertext(self._ctx().rotate_rows(self.ct, steps), self.factory)
+        return TpuBfvCiphertext(
+            self._ctx().rotate_rows(self._relin(), steps), self.factory)
 
     def rotate_columns(self):
-        return TpuBfvCiphertext(self._ctx().rotate_columns(self.ct), self.factory)
+        return TpuBfvCiphertext(
+            self._ctx().rotate_columns(self._relin()), self.factory)
 
     def clone(self):
         return TpuBfvCiphertext(self.ct, self.factory)  # immutable: share
