@@ -10,9 +10,11 @@ headline metrics (the driver records the last line in BENCH_r{N}.json):
                          metric named by BASELINE.json — measured on the
                          Pallas fused-butterfly kernel over the full L=14
                          limb chain, plus % of the VPU speed-of-light.
-  "suite"              : all five BASELINE staged configs (cardio-on-dummy,
+  "suite"              : the five BASELINE staged configs (cardio-on-dummy,
                          mult+relin, batched hamming w/ rotations, cone
-                         rewriting, CKKS n=32768), measured fresh each run.
+                         rewriting, CKKS n=32768) plus config 6 — encrypted
+                         LaplaceSharpening e2e at the reference's n=16384
+                         via the whole-program JIT — measured fresh each run.
 
 Speed-of-light model (docs/DESIGN_NOTES.md): the roll-based Pallas butterfly
 costs ~20 u32 VPU ops/element/stage = ~40 ops per butterfly (2 elements);

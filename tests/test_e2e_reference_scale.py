@@ -1,0 +1,93 @@
+"""Encrypted end-to-end at REFERENCE scale (n=16384, the jx32 engine).
+
+The reference's only real-crypto end-to-end is LaplaceSharpening on SEAL at
+n=16384 with MATRIX_SIZE=4 (LaplaceSharpeningTest.cpp:17,151-161 — left
+unfinished there on the secret-IndexAccess TODO). These tests run that exact
+workload, plus the SoK batched cardio risk score, fully encrypted on the
+jx32 BFV backend at n=16384, decrypted equal to the plaintext oracle.
+
+Marked slow: production-size parameters on the CPU JAX backend.
+"""
+
+import random
+
+import pytest
+
+from helpers import run_program
+from tests.test_secret_index import LAPLACE_SECRET_PROGRAM, _laplace_expected
+
+
+def _bfv16384():
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    return BfvCiphertextFactory(slots=16384, engine="jx32", seed=23)
+
+
+@pytest.mark.slow
+def test_laplace_sharpening_encrypted_bfv_n16384():
+    """The reference's LaplaceSharpeningTest at ITS parameters: n=16384,
+    4x4 image, encrypted input, per-pixel secret index reads (slot-aligned
+    rotations, all sharing one hoisted key-switch decomposition) and masked
+    secret writes; decrypted output equals the plain oracle."""
+    size = 4
+    rng = random.Random(7)
+    img = [rng.randrange(0, 256) for _ in range(size * size)]
+    inputs = ("secret int img = {" + ",".join(map(str, img)) + "};"
+              f" int imgSize = {size};")
+    factory = _bfv16384()
+    rv, pairs = run_program(inputs, LAPLACE_SECRET_PROGRAM, "out = img2;",
+                            factory)
+    got = factory.decrypt(pairs[0][1])[:size * size]
+    assert got == _laplace_expected(img, size)
+    c = factory.context.counters
+    # all rotations of the input image share ONE key-switch decomposition
+    assert c["decomp_hit"] > c["decomp"]
+
+
+@pytest.mark.slow
+def test_cardio_batched_encrypted_bfv_n16384():
+    """Batched cardio at n=16384: the 10 risk-indicator flags arrive PACKED
+    in one ciphertext (the SoK batched form — guard conjunctions like
+    man&&(age>50) are client-evaluated 0/1 flags); the compiler unrolls the
+    accumulation loop and the vectorizer lowers it to a log-depth
+    rotate-reduce, executed fully encrypted."""
+    from abc_tpu.parser import Parser
+    from abc_tpu.passes.pipeline import (CompileOptions, compile_program,
+                                         input_types_from_ast, run_compiled)
+
+    vals = dict(man=1, woman=0, age=55, smoking=1, diabetic=0,
+                high_blood_pressure=1, cholesterol=35, weight=120,
+                height=180, daily_physical_activity=20, alcohol=4)
+    flags = [int(vals["man"] and vals["age"] > 50),
+             int(vals["woman"] and vals["age"] > 40),
+             vals["smoking"], vals["diabetic"], vals["high_blood_pressure"],
+             int(vals["cholesterol"] < 40),
+             int(vals["weight"] > vals["height"] - 90),
+             int(vals["daily_physical_activity"] < 30),
+             int(vals["man"] and vals["alcohol"] > 3),
+             int(vals["woman"] and vals["alcohol"] > 2)]
+    expected = sum(flags)
+    # pad to 16 so the general sumStatements spec masks + reduces over 16
+    packed = flags + [0] * 6
+
+    program = """
+      int risk = 0;
+      for (int i = 0; i < 10; i = i + 1) {
+        risk = risk + flags[i];
+      }
+      return risk;
+    """
+    inputs = Parser.parse(
+        "secret int flags = {" + ",".join(map(str, packed)) + "};")
+    compiled = compile_program(program, input_types_from_ast(inputs),
+                               CompileOptions(vectorize=True))
+    text = str(compiled.ast)
+    assert "rotate" in text          # the batcher produced rotate-reduce
+
+    factory = _bfv16384()
+    rv, pairs = run_compiled(compiled, inputs, Parser.parse("out = risk;"),
+                             factory)
+    got = factory.decrypt(pairs[0][1])[0]
+    assert got == expected
+    c = factory.context.counters
+    assert c["galois"] >= 4          # log2(16) rotate-reduce steps
+    assert c["mult"] == 0            # additive workload: no ct*ct multiplies
