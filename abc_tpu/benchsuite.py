@@ -126,40 +126,60 @@ def config3_batched_hamming(chain: int = 512) -> Dict:
 
 
 def config4_cone_rewriting() -> Dict:
-    """Multiplicative-depth reduction on a deep boolean-style circuit
-    (Aubry et al. pattern: a chain of ANDs rebalanced through cone
-    selection). Reports depth before/after; depth is the FHE cost model."""
+    """Multiplicative-depth reduction on the NAMED boolean circuits
+    (BASELINE config 4: "chi-squared / sorting"): the chi-squared test
+    statistic, the 16-bit sorting comparator (greater-than ripple chain),
+    and a 4x4-bit odd-even sorting network. Flow-based minimum-cone
+    selection (Aubry Alg. 3) vs the greedy fallback: reports depth
+    before/after AND the gate cost (mul/AND gates added) of each."""
+    from abc_tpu import circuits
     from abc_tpu.parser import Parser
     from abc_tpu.passes.cone_rewriter import (
-        multiplicative_depth, run_cone_rewriting,
+        mul_gate_count, multiplicative_depth, program_mult_depth,
+        run_cone_rewriting,
     )
-    from abc_tpu.passes.type_checking import run_type_checking
-    from abc_tpu.ast_ir.nodes import Assignment, Block
-    from abc_tpu.utils.datatype import Datatype, Type
+    from abc_tpu.ast_ir.nodes import Assignment, Return, VariableDeclaration
 
-    # composite: a left-leaning 9-way product chain (parser emits depth 8;
-    # associative rebalancing → ceil(log2 9) = 4) feeding the Aubry cone
-    # pattern t*(y + t2*(y2 + deep)) that cone selection rebalances further
-    src = ("r = t *** (y +++ (t2 *** (y2 +++ (((((((((x1 *** x2) *** x3)"
-           " *** x4) *** x5) *** x6) *** x7) *** x8) *** x9)))));")
-    ast = Parser.parse(src)
-    expr = None
-    for stmt in ast.children():
-        if isinstance(stmt, Assignment):
-            expr = stmt.value
+    def stats(ast):
+        gates = 0
+        for s in ast.iter_preorder():
+            e = None
+            if isinstance(s, Assignment):
+                e = s.value
+            elif isinstance(s, VariableDeclaration) and s.value is not None:
+                e = s.value
+            elif isinstance(s, Return) and s.value is not None:
+                e = s.value
+            if e is not None:
+                gates += mul_gate_count(e)
+        return program_mult_depth(ast), gates
+
+    out = {}
     t0 = time.perf_counter()
-    depth_before = multiplicative_depth(expr)
-    run_cone_rewriting(ast)
+    for name, src in (("chi_squared", circuits.chi_squared()),
+                      ("sorting_gt16", circuits.sorting_comparator(16)),
+                      ("sorting_network_4x4", circuits.sorting_network(4, 4))):
+        row = {}
+        for mode, flow in (("flow", True), ("greedy", False)):
+            ast = Parser.parse(src)
+            d0, g0 = stats(ast)
+            cr = run_cone_rewriting(ast, flow_select=flow)
+            d1, g1 = stats(ast)
+            row[mode] = {"depth": [d0, d1], "gates": [g0, g1],
+                         "rewrites": cr.rewrites_applied}
+        out[name] = row
     compile_ms = (time.perf_counter() - t0) * 1e3
-    for stmt in ast.children():
-        if isinstance(stmt, Assignment):
-            expr = stmt.value
-    depth_after = multiplicative_depth(expr)
+
+    gt = out["sorting_gt16"]["flow"]
+    d0, d1 = gt["depth"]
     return {"metric": "config4_cone_rewriting_mult_depth",
-            "value": depth_after, "unit": "mult-depth (from "
-            f"{depth_before})",
-            "vs_baseline": round(depth_before / max(depth_after, 1), 2),
-            "compile_ms": round(compile_ms, 2)}
+            "value": d1, "unit": f"mult-depth (from {d0}, sorting_gt16)",
+            "vs_baseline": round(d0 / max(d1, 1), 2),
+            "circuits": out,
+            "compile_ms": round(compile_ms, 2),
+            "note": "flow = Aubry Alg. 3 minimum vertex cut over C^AND; "
+                    "greedy = deepest-first fallback. gates = mul/AND "
+                    "count before/after (the cost of the depth saved)"}
 
 
 def config5_ckks_sharded(chain: int = 256) -> Dict:

@@ -18,10 +18,16 @@ which reduces l(v) = l(U') + 2 down to l(U') + 1 whenever the shallow
 operands have ≥2 levels of slack:
     l(t), l(t') ≤ l(v) − 3   and   l(y_i) ≤ l(v) − 2.
 
-Deviation from the paper (documented, like the reference's own deviation
-note): cones are selected GREEDILY on the critical path and iterated to a
-fixpoint instead of via the max-flow minimum-cone set (Alg. 3); the flow
-optimization only reduces the number of added gates, not the final depth.
+Cone SELECTION implements the paper's Alg. 3: build the critical-AND
+circuit C^AND (critical AND gates, connected through critical XOR paths —
+Alg. 2), then pick Δ^MIN, the MINIMUM set of cones whose rewriting cuts
+every critical path, as a minimum vertex cut = max flow on the node-split
+C^AND with capacity 1 on reducible critical ANDs and ∞ on irreducible ones
+(so the cut never selects a cone the local rewrite cannot fire on). Every
+cone rewrite adds gates, so minimizing |Δ^MIN| minimizes the gate-count
+cost of each depth level removed — measured in bench config 4 against the
+greedy deepest-first selection (ConeRewriter(flow_select=False), kept as
+the fallback when no finite cut exists).
 """
 
 from __future__ import annotations
@@ -133,11 +139,123 @@ def rebalance_depth(expr: AbstractExpression) -> AbstractExpression:
     return heap[0][2]
 
 
-class ConeRewriter:
-    """Greedy critical-path cone rewriting to a fixpoint."""
+def program_mult_depth(ast: Block) -> int:
+    """End-to-end multiplicative depth of a straight-line program: depth
+    accumulates through variable definitions (a use of x starts at the
+    depth of the expression last assigned to x). This is the circuit-level
+    l_max a sorting network or comparator pipeline actually pays."""
+    from abc_tpu.ast_ir.nodes import Variable
 
-    def __init__(self, max_rounds: int = 64):
+    var_depth: Dict[str, int] = {}
+
+    def depth(expr: AbstractExpression) -> int:
+        if isinstance(expr, Variable):
+            return var_depth.get(expr.identifier, 0)
+        if isinstance(expr, BinaryExpression):
+            d = max(depth(expr.left), depth(expr.right))
+            return d + (1 if expr.operator.op in MUL_OPS else 0)
+        return max((depth(c) for c in expr.children()
+                    if isinstance(c, AbstractExpression)), default=0)
+
+    worst = 0
+    for stmt in ast.iter_preorder():
+        target = expr = None
+        if isinstance(stmt, Assignment):
+            target, expr = stmt.target, stmt.value
+        elif isinstance(stmt, VariableDeclaration) and stmt.value is not None:
+            target, expr = stmt.target, stmt.value
+        elif isinstance(stmt, Return) and stmt.value is not None:
+            expr = stmt.value
+        if expr is None:
+            continue
+        d = depth(expr)
+        worst = max(worst, d)
+        if target is not None and hasattr(target, "identifier"):
+            var_depth[target.identifier] = d
+    return worst
+
+
+def mul_gate_count(expr: AbstractExpression) -> int:
+    """Number of mul/AND gates in the expression tree (the 'gates added'
+    cost metric of a cone rewrite — each rewrite duplicates t)."""
+    count = 1 if _is_mul(expr) else 0
+    return count + sum(mul_gate_count(c) for c in expr.children()
+                       if isinstance(c, AbstractExpression))
+
+
+# ------------------------------------------------------- Alg. 3: flow selection
+
+_INF = 1 << 30
+
+
+class _FlowGraph:
+    """Tiny Edmonds-Karp max-flow over an adjacency-map residual graph.
+    Node-split vertex capacities: vertex v becomes v_in → v_out with the
+    vertex's capacity; all structural edges have capacity ∞. C^AND graphs
+    are small (≤ a few hundred critical ANDs), so BFS augmentation is
+    plenty."""
+
+    def __init__(self):
+        self.cap: Dict[object, Dict[object, int]] = {}
+
+    def add_edge(self, u, v, c: int) -> None:
+        self.cap.setdefault(u, {})
+        self.cap.setdefault(v, {})
+        self.cap[u][v] = self.cap[u].get(v, 0) + c
+        self.cap[v].setdefault(u, 0)
+
+    def max_flow(self, s, t, limit: int = _INF) -> int:
+        from collections import deque
+        total = 0
+        while total < limit:
+            parent = {s: None}
+            q = deque([s])
+            while q and t not in parent:
+                u = q.popleft()
+                for v, c in self.cap[u].items():
+                    if c > 0 and v not in parent:
+                        parent[v] = u
+                        q.append(v)
+            if t not in parent:
+                break
+            # bottleneck along the path
+            bott = _INF
+            v = t
+            while parent[v] is not None:
+                u = parent[v]
+                bott = min(bott, self.cap[u][v])
+                v = u
+            v = t
+            while parent[v] is not None:
+                u = parent[v]
+                self.cap[u][v] -= bott
+                self.cap[v][u] += bott
+                v = u
+            total += bott
+        return total
+
+    def min_cut_side(self, s) -> set:
+        """Vertices reachable from s in the residual graph."""
+        from collections import deque
+        seen = {s}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v, c in self.cap[u].items():
+                if c > 0 and v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        return seen
+
+
+class ConeRewriter:
+    """Cone rewriting to a fixpoint. Selection per round is the paper's
+    flow-based Δ^MIN (Alg. 3) by default, or greedy deepest-first with
+    flow_select=False."""
+
+    def __init__(self, max_rounds: int = 64, flow_select: bool = True):
         self.max_rounds = max_rounds
+        self.flow_select = flow_select
         self.rewrites_applied = 0
 
     # --- single local rewrite ---------------------------------------------------
@@ -181,31 +299,115 @@ class ConeRewriter:
                 return BinaryExpression(left, add_op, right)
         return None
 
+    # --- Alg. 2 + Alg. 3: C^AND construction and minimum cone selection ---------
+    def _flow_cut(self, root: AbstractExpression, memo: Dict[int, int]
+                  ) -> Optional[List[BinaryExpression]]:
+        """Δ^MIN for one round: the minimum set of REDUCIBLE critical AND
+        gates whose cones cut every critical path. Built as a minimum
+        vertex cut (node-split max flow) over C^AND — critical AND gates
+        linked through critical XOR segments; capacity 1 on reducible
+        gates, ∞ on irreducible ones. Returns None when no finite cut
+        exists (some critical path carries no reducible cone)."""
+        l_max = multiplicative_depth(root, memo)
+        if l_max < 3:
+            return None
+        g = _FlowGraph()
+        S, T = "S", "T"
+        g.cap.setdefault(S, {})
+        g.cap.setdefault(T, {})
+        nodes: Dict[int, BinaryExpression] = {}
+        reducible_memo: Dict[int, bool] = {}
+
+        def reducible(v: BinaryExpression) -> bool:
+            k = id(v)
+            if k not in reducible_memo:
+                reducible_memo[k] = self._try_rewrite_node(v, memo) is not None
+            return reducible_memo[k]
+
+        def walk(v: AbstractExpression, above) -> None:
+            # v is on a critical path; `above` = in-node of the nearest
+            # critical AND ancestor (or T at the top)
+            here = above
+            if _is_mul(v):
+                vin, vout = ("in", id(v)), ("out", id(v))
+                if id(v) not in nodes:
+                    nodes[id(v)] = v
+                    g.add_edge(vin, vout, 1 if reducible(v) else _INF)
+                g.add_edge(vout, above, _INF)
+                here = vin
+            gate = 1 if _is_mul(v) else 0
+            d_v = multiplicative_depth(v, memo)
+            kids = [c for c in v.children()
+                    if isinstance(c, AbstractExpression)
+                    and multiplicative_depth(c, memo) == d_v - gate]
+            if d_v - gate == 0:
+                # the critical path bottoms out here (leaf or shallow core)
+                g.add_edge(S, here, _INF)
+                return
+            for c in kids:
+                walk(c, here)
+
+        walk(root, T)
+        flow = g.max_flow(S, T, limit=_INF // 2)
+        if flow >= _INF // 2 or flow == 0:
+            return None
+        reachable = g.min_cut_side(S)
+        cut = [nodes[k] for k in nodes
+               if ("in", k) in reachable and ("out", k) not in reachable]
+        return cut or None
+
+    @staticmethod
+    def _attached(v: AbstractNode, root: AbstractNode) -> bool:
+        while v is not None:
+            if v is root:
+                return True
+            v = v.parent
+        return False
+
     # --- circuit-level driver -----------------------------------------------------
     def rewrite_expression(self, expr: AbstractExpression) -> AbstractExpression:
-        """Reduce the multiplicative depth of one expression to a fixpoint."""
+        """Reduce the multiplicative depth of one expression to a fixpoint.
+        Each round rewrites Δ^MIN (flow_select) or the single deepest
+        rewritable cone (greedy fallback)."""
         root = expr
         for _ in range(self.max_rounds):
             memo: Dict[int, int] = {}
             l_max = multiplicative_depth(root, memo)
             if l_max < 3:
                 break  # depth < 3 cannot be reduced by this rewrite
-            # find critical mul gates (on a deepest path), deepest-first
-            candidates = [n for n in root.iter_preorder()
-                          if _is_mul(n) and multiplicative_depth(n, memo) >= 3]
-            candidates.sort(key=lambda n: -multiplicative_depth(n, memo))
             replaced = False
-            for v in candidates:
-                replacement = self._try_rewrite_node(v, memo)
-                if replacement is None:
-                    continue
-                if v is root:
-                    root = replacement
-                else:
-                    v.parent.replace_child(v, replacement)
-                self.rewrites_applied += 1
-                replaced = True
-                break
+            if self.flow_select:
+                cut = self._flow_cut(root, memo)
+                for v in (cut or []):
+                    if v is not root and not self._attached(v, root):
+                        continue   # detached by an earlier rewrite this round
+                    fresh: Dict[int, int] = {}
+                    replacement = self._try_rewrite_node(v, fresh)
+                    if replacement is None:
+                        continue
+                    if v is root:
+                        root = replacement
+                    else:
+                        v.parent.replace_child(v, replacement)
+                    self.rewrites_applied += 1
+                    replaced = True
+            if not replaced:
+                # greedy: deepest rewritable critical mul gate, one per round
+                candidates = [n for n in root.iter_preorder()
+                              if _is_mul(n)
+                              and multiplicative_depth(n, memo) >= 3]
+                candidates.sort(key=lambda n: -multiplicative_depth(n, memo))
+                for v in candidates:
+                    replacement = self._try_rewrite_node(v, memo)
+                    if replacement is None:
+                        continue
+                    if v is root:
+                        root = replacement
+                    else:
+                        v.parent.replace_child(v, replacement)
+                    self.rewrites_applied += 1
+                    replaced = True
+                    break
             if not replaced:
                 break
         return root
@@ -229,7 +431,8 @@ class ConeRewriter:
 
 
 def run_cone_rewriting(ast: Block, max_rounds: int = 64,
-                       rebalance: bool = True) -> ConeRewriter:
-    cr = ConeRewriter(max_rounds)
+                       rebalance: bool = True,
+                       flow_select: bool = True) -> ConeRewriter:
+    cr = ConeRewriter(max_rounds, flow_select=flow_select)
     cr.rewrite_ast(ast, rebalance=rebalance)
     return cr

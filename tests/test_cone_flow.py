@@ -1,0 +1,157 @@
+"""Flow-based minimum cone selection (Aubry et al. Alg. 3) — the piece the
+reference documents in its README cone-rewriting section but never shipped
+(its legacy fixtures are commented out, test/AstTestingGenerator.cpp:921-986).
+
+Checks: the min-vertex-cut selection achieves at-least-as-good final depth
+as the greedy fallback with fewer added gates on the named sorting
+comparator circuit; rewrites preserve boolean semantics (exhaustive or
+randomized evaluation over 0/1 inputs); and the named chi-squared /
+sorting-network circuits from abc_tpu.circuits parse and reduce.
+"""
+
+import itertools
+import random
+
+from abc_tpu import circuits
+from abc_tpu.ast_ir.nodes import (
+    Assignment, BinaryExpression, Literal, Return, Variable,
+    VariableDeclaration,
+)
+from abc_tpu.parser import Parser
+from abc_tpu.passes.cone_rewriter import (
+    ConeRewriter, mul_gate_count, multiplicative_depth, program_mult_depth,
+    run_cone_rewriting,
+)
+from abc_tpu.utils.operators import Op
+
+
+def _eval(expr, env):
+    """Boolean/arithmetic evaluator over an expression tree."""
+    if isinstance(expr, Literal):
+        return int(expr.value)
+    if isinstance(expr, Variable):
+        return env[expr.identifier]
+    if isinstance(expr, BinaryExpression):
+        a, b = _eval(expr.left, env), _eval(expr.right, env)
+        op = expr.operator.op
+        if op in (Op.BITWISE_AND, Op.LOGICAL_AND):
+            return a & b
+        if op == Op.BITWISE_XOR:
+            return a ^ b
+        if op in (Op.MUL, Op.FHE_MUL):
+            return a * b
+        if op in (Op.ADD, Op.FHE_ADD):
+            return a + b
+        if op in (Op.SUB, Op.FHE_SUB):
+            return a - b
+        raise AssertionError(f"unexpected op {op}")
+    raise AssertionError(f"unexpected node {type(expr)}")
+
+
+def _program_outputs(ast, env):
+    """Evaluate a straight-line program; returns the Return value."""
+    env = dict(env)
+    for stmt in ast.iter_preorder():
+        if isinstance(stmt, (Assignment, VariableDeclaration)) and \
+                getattr(stmt, "value", None) is not None:
+            env[stmt.target.identifier] = _eval(stmt.value, env)
+        elif isinstance(stmt, Return) and stmt.value is not None:
+            return _eval(stmt.value, env)
+    return None
+
+
+def _gates(ast):
+    total = 0
+    for s in ast.iter_preorder():
+        e = getattr(s, "value", None)
+        if e is not None and not isinstance(s, (Variable, BinaryExpression,
+                                                Literal)):
+            try:
+                total += mul_gate_count(e)
+            except AttributeError:
+                pass
+    return total
+
+
+def test_flow_beats_greedy_on_sorting_comparator():
+    """gt16: flow selection reaches strictly lower depth AND adds fewer
+    gates than the greedy deepest-first fallback."""
+    src = circuits.sorting_comparator(16)
+    results = {}
+    for mode, flow in (("flow", True), ("greedy", False)):
+        ast = Parser.parse(src)
+        g0 = _gates(ast)
+        run_cone_rewriting(ast, flow_select=flow)
+        results[mode] = (program_mult_depth(ast), _gates(ast) - g0)
+    d_flow, added_flow = results["flow"]
+    d_greedy, added_greedy = results["greedy"]
+    assert d_flow <= d_greedy
+    assert d_flow <= 7          # 16 -> ~log-depth region
+    assert added_flow < added_greedy
+
+
+def test_rewrite_preserves_comparator_semantics():
+    """gt(a,b) must still compute a>b after rewriting — checked for 8-bit
+    operands on 200 random input pairs."""
+    bits = 8
+    src = circuits.sorting_comparator(bits)
+    ast = Parser.parse(src)
+    run_cone_rewriting(ast)
+    rng = random.Random(0)
+    for _ in range(200):
+        a = rng.randrange(0, 2 ** bits)
+        b = rng.randrange(0, 2 ** bits)
+        env = {}
+        for i in range(bits):
+            env[f"a{i}"] = (a >> i) & 1
+            env[f"b{i}"] = (b >> i) & 1
+        got = _program_outputs(ast, env)
+        assert got == int(a > b), (a, b, got)
+
+
+def test_rewrite_preserves_arithmetic_semantics_exhaustive():
+    """The Aubry local rewrite is pure ring distributivity: exhaustively
+    check a small rewritten cone over all 0/1 assignments."""
+    src = ("secret int v = t *** (y +++ (tp *** (u1 *** u2 +++ yp)));"
+           " return v;")
+    ast = Parser.parse(src)
+    before = Parser.parse(src)
+    cr = run_cone_rewriting(ast)
+    assert cr.rewrites_applied >= 1
+    names = ["t", "y", "tp", "u1", "u2", "yp"]
+    for vals in itertools.product((0, 1), repeat=len(names)):
+        env = dict(zip(names, vals))
+        assert _program_outputs(ast, env) == _program_outputs(before, env)
+
+
+def test_flow_cut_is_minimum_on_merged_paths():
+    """Two deep branches merging under one reducible AND: the min cut is
+    the single merge cone, not one cone per branch."""
+    # u = tp & (A ^ B) with A, B both depth-2 AND trees; v = t & (y ^ u)
+    src = ("secret int v = t & (y ^ (tp & ((a1 & (a2 & a3)) ^ "
+           "(b1 & (b2 & b3))))); return v;")
+    ast = Parser.parse(src)
+    stmt = next(s for s in ast.iter_preorder()
+                if isinstance(s, VariableDeclaration) and s.value is not None)
+    cr = ConeRewriter(flow_select=True)
+    memo = {}
+    cut = cr._flow_cut(stmt.value, memo)
+    assert cut is not None
+    assert len(cut) == 1        # the merge point covers both critical paths
+
+
+def test_named_circuits_parse_and_reduce():
+    for src, min_gain in ((circuits.chi_squared(), 0),
+                          (circuits.sorting_comparator(16), 8),
+                          (circuits.sorting_network(4, 4), 2)):
+        ast = Parser.parse(src)
+        d0 = program_mult_depth(ast)
+        run_cone_rewriting(ast)
+        d1 = program_mult_depth(ast)
+        assert d1 <= d0 - min_gain
+
+
+def test_program_mult_depth_tracks_variables():
+    ast = Parser.parse("secret int x = a & b; secret int y = x & c;"
+                       " secret int z = y & d; return z;")
+    assert program_mult_depth(ast) == 3
