@@ -219,6 +219,10 @@ class ControlFlowGraphVisitor(ScopedVisitor):
         if node.value is not None:
             node.value.accept(self)
         self._store_accesses(gn)
+        # Return terminates control flow: nothing flows from it to the next
+        # statement (ref: cfg_ifProgram expects the trailing return's only
+        # parent to be the If node, ControlFlowGraphVisitorTest.cpp:88-123)
+        self._last_created = []
 
     def visit_VariableDeclaration(self, node: VariableDeclaration) -> None:
         self._check_entrypoint(node)

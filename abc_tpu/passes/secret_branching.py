@@ -21,7 +21,8 @@ from typing import Dict, List, Optional
 
 from abc_tpu.ast_ir.nodes import (
     AbstractExpression, Assignment, BinaryExpression, Block, For, Function,
-    FunctionParameter, If, LiteralInt, Return, Variable, VariableDeclaration,
+    FunctionParameter, If, LiteralInt, Return, TernaryOperator, Variable,
+    VariableDeclaration,
 )
 from abc_tpu.passes.visitor import ScopedVisitor
 from abc_tpu.utils.operators import Op, Operator
@@ -69,14 +70,46 @@ class SecretBranchingVisitor(ScopedVisitor):
         self._delete_current = False
         self._replacements: List[Assignment] = []
 
+    # --- secret ternary lowering -----------------------------------------------
+    def _lower_ternaries(self, expr: Optional[AbstractExpression]
+                         ) -> Optional[AbstractExpression]:
+        """c ? a : b with a SECRET condition ⇒ c***a +++ (1---c)***b — the
+        expression-level analogue of the If rewrite. The reference's two
+        ternary cases are GTEST_SKIP'd pending this
+        (SecretBranchingVisitorTest.cpp:359-430); lowered here for real,
+        post-order so nested ternaries compose. Plain-condition ternaries
+        stay for the runtime to branch on."""
+        if expr is None:
+            return None
+        for child in list(expr.children()):
+            if isinstance(child, AbstractExpression):
+                lowered = self._lower_ternaries(child)
+                if lowered is not child:
+                    expr.replace_child(child, lowered)
+        if isinstance(expr, TernaryOperator) and \
+                self.tainted.get(expr.condition.unique_node_id):
+            cond = expr.condition
+            clause_true = BinaryExpression(cond.clone(), Operator(Op.FHE_MUL),
+                                           expr.then_expr.clone())
+            clause_false = BinaryExpression(
+                BinaryExpression(LiteralInt(1), Operator(Op.FHE_SUB),
+                                 cond.clone()),
+                Operator(Op.FHE_MUL), expr.else_expr.clone())
+            return BinaryExpression(clause_true, Operator(Op.FHE_ADD),
+                                    clause_false)
+        return expr
+
     # --- value tracking -------------------------------------------------------
     def visit_Assignment(self, node: Assignment) -> None:
+        node.value = self._lower_ternaries(node.value)
         # only plain-variable targets are tracked (ref: :228-236)
         if isinstance(node.target, Variable):
             sid = self.current_scope.resolve_identifier(node.target.identifier)
             self.expression_values[sid] = node.value
 
     def visit_VariableDeclaration(self, node: VariableDeclaration) -> None:
+        if node.value is not None:
+            node.value = self._lower_ternaries(node.value)
         sid = self.declare(node.target.identifier)
         self.expression_values[sid] = node.value  # None if uninitialized
 
@@ -90,6 +123,8 @@ class SecretBranchingVisitor(ScopedVisitor):
         super().visit_For(node)
 
     def visit_Return(self, node: Return) -> None:
+        if node.value is not None:
+            node.value = self._lower_ternaries(node.value)
         self._unsupported_seen = True
 
     # --- the rewrite ------------------------------------------------------------

@@ -40,9 +40,11 @@ class Cleartext(AbstractValue):
         return Cleartext([value], dtype)
 
     # --- predicates -------------------------------------------------------
-    def all_equal(self) -> bool:
-        # ref: Cleartext::allEqual, Cleartext.h:81-90
-        return all(v == self.values[0] for v in self.values)
+    def all_equal(self, value: Any = None) -> bool:
+        # ref: Cleartext::allEqual, Cleartext.h:81-90 (with an argument:
+        # every element equals `value`; without: every element equal)
+        ref = self.values[0] if value is None else value
+        return all(v == ref for v in self.values)
 
     def is_scalar(self) -> bool:
         return len(self.values) == 1
