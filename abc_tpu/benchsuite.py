@@ -1,10 +1,14 @@
-"""Staged benchmark suite — BASELINE.json's five configs, runnable for real.
+"""Staged benchmark suite — BASELINE.json's configs, runnable for real.
 
 The reference's benchmark program writes a HARDCODED CSV (ast_demo,
 examples/main.cpp:39-46); every number here is measured. Each config prints
 one JSON line {"metric", "value", "unit", "vs_baseline", ...}. The
-vs_baseline denominators are documented SEAL-CPU stand-ins (the reference
-publishes no numbers, BASELINE.md):
+vs_baseline denominators are documented SEAL-CPU stand-ins, CALIBRATED in
+BASELINE.md §"CPU baseline calibration": bounded above by a Harvey-butterfly
+op-census derivation (SEAL ≈ 40-150 ops/s single-thread for config 2 —
+the 40 used here is the conservative end, so speedups are lower bounds up
+to ~4×) and below by this repo's own measured CPU host engine (8.4 ops/s on
+this rig); configs 3/5 scale config 2 by each workload's NTT-row census:
 
   config 1  cardio end-to-end on the dummy scheme (CPU)
             vs the reference ast_demo CSV's t_computation placeholder.
