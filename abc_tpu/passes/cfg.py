@@ -135,13 +135,18 @@ class ControlFlowGraphVisitor(ScopedVisitor):
         node.value.accept(self)
         target = node.target
         # collect written identifier; nested index targets read their indices
+        indexed = False
         while isinstance(target, IndexAccess):
+            indexed = True
             target.index.accept(self)
             target = target.target
         if isinstance(target, Variable):
             sid = self._resolve(target.identifier)
             if sid is not None:
-                self._mark_access(sid, VariableAccessType.WRITE)
+                # an indexed store is a PARTIAL write (read-modify-write):
+                # other slots survive, so prior writers stay live
+                self._mark_access(sid, VariableAccessType.READ_AND_WRITE
+                                  if indexed else VariableAccessType.WRITE)
         self._store_accesses(gn)
 
     def visit_Block(self, node: Block) -> None:
@@ -284,6 +289,15 @@ class ControlFlowGraphVisitor(ScopedVisitor):
             for sid in gn.reads():
                 for writer in node_entry.get(sid, ()):
                     writer.add_dfg_child(gn)
+
+        # possible last writers at program exit, per identifier — the
+        # live-out roots for downstream consumers (dead-store elimination)
+        self.final_writers: Dict[str, Set[GraphNode]] = {}
+        terminals = [gn for gn in self.nodes if not gn.cfg_children]
+        for gn in terminals:
+            for sid, writers in exit_.get(id(gn), {}).items():
+                self.final_writers.setdefault(sid.identifier,
+                                              set()).update(writers)
 
 
 def build_cfg(ast: AbstractNode, input_identifiers=(),

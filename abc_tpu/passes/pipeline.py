@@ -28,6 +28,9 @@ class CompileOptions:
     vectorize: bool = False        # batching pass (off by default, like the
                                    # reference's WIP Vectorizer)
     cone_rewriting: bool = False   # multiplicative-depth reduction
+    dead_store_elimination: bool = True   # DFG-backed DSE (passes/dse.py)
+    live_out: Optional[set] = None  # output identifiers the client decrypts;
+                                    # None keeps every variable's final write
     max_unroll_iterations: int = 65536
 
 
@@ -71,6 +74,14 @@ class Compiler:
             if opts.ctes:
                 ast = run_ctes(ast)   # fold the literal indices just created
             tcv = run_type_checking(ast, input_types)
+
+        if opts.dead_store_elimination:
+            # DFG consumer: drop stores no read (or live-out) ever sees,
+            # BEFORE batching so the vectorizer never packs dead slots
+            from abc_tpu.passes.dse import run_dead_store_elimination
+            if run_dead_store_elimination(ast, input_types.keys(),
+                                          opts.live_out):
+                tcv = run_type_checking(ast, input_types)
 
         if opts.vectorize:
             from abc_tpu.passes.vectorizer import run_vectorizer
