@@ -90,6 +90,9 @@ class CkksContext:
 
     def __init__(self, params: CkksParams):
         self.params = params
+        # operation counters (same schema as BfvContext.counters)
+        self.counters = {"relin": 0, "galois": 0, "decomp": 0,
+                         "decomp_hit": 0, "mult": 0}
         n, moduli = params.n, params.coeff_modulus
         assert len({q.bit_length() for q in moduli}) == 1
         self._on_device = params.engine == "jx32"
@@ -405,6 +408,7 @@ class CkksContext:
         level = a.level
         ntt = self._ntt_at(level)
         q, mu = self._tabs_at(level)
+        self.counters["mult"] += 1
         fa, fb = ntt.fwd(a.data), ntt.fwd(b.data)
         e = self.engine
         d0 = e.mul(fa[0], fb[0], q, mu)
@@ -421,6 +425,7 @@ class CkksContext:
     def relinearize(self, ct: CkksCiphertext) -> CkksCiphertext:
         if ct.size == 2:
             return ct
+        self.counters["relin"] += 1
         k0, k1 = self._key_switch(ct.data[2], self.get_relin_key(), ct.level)
         q, _ = self._tabs_at(ct.level)
         xp = _xp(ct.data)
@@ -537,6 +542,28 @@ class CkksContext:
             self._perm_cache[key] = pos_of_exp[(e * g) % m]
         return self._perm_cache[key]
 
+    def _decompose_cached(self, ct_data, level: int):
+        """Key-switch decomposition with an identity-keyed cache — repeated
+        rotations of the SAME ciphertext share the forward NTTs (same
+        transparent hoisting as BfvContext._decompose_cached; level is part
+        of the validity check since the decomposition shape depends on it)."""
+        cache = getattr(self, "_dec_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+            cache = self._dec_cache = OrderedDict()
+        key = id(ct_data)
+        hit = cache.get(key)
+        if hit is not None and hit[0] is ct_data and hit[1] == level:
+            cache.move_to_end(key)
+            self.counters["decomp_hit"] += 1
+            return hit[2]
+        self.counters["decomp"] += 1
+        D = self._decompose_ntt(ct_data[1], level)
+        cache[key] = (ct_data, level, D)
+        while len(cache) > 8:
+            cache.popitem(last=False)
+        return D
+
     def hoisted_rotations(self, ct: CkksCiphertext,
                           steps_list: Sequence[int]) -> List[CkksCiphertext]:
         """Rotate ONE ciphertext by MANY step counts sharing the key-switch
@@ -547,7 +574,7 @@ class CkksContext:
         xp = _xp(ct.data)
         cols_idx = np.asarray(list(range(level)) + [self.params.L],
                               dtype=np.int64)
-        D = self._decompose_ntt(ct.data[1], level)
+        D = self._decompose_cached(ct.data, level)
         q, _ = self._tabs_at(level)
         out = []
         for steps in steps_list:
@@ -570,21 +597,32 @@ class CkksContext:
         return out
 
     def rotate(self, ct: CkksCiphertext, steps: int) -> CkksCiphertext:
-        """Rotate the n/2 complex slots by `steps` (positive = left)."""
+        """Rotate the n/2 complex slots by `steps` (positive = left), in
+        the HOISTED formulation: decompose the untouched c1 (cacheable
+        across rotations of the same ciphertext), permute the decomposition
+        in the NTT domain — mirrors BfvContext.apply_galois."""
         n = self.params.n
         steps = steps % (n // 2)
         if steps == 0:
             return ct
+        self.counters["galois"] += 1
         g = pow(3, steps, 2 * n)
-        gather, sign_pos = self._galois_perm(g)
+        level = ct.level
         xp = _xp(ct.data)
-        q, _ = self._tabs_at(ct.level)
-        out = ct.data[..., gather]
-        out = xp.where(xp.asarray(sign_pos) if hasattr(xp, "asarray") else sign_pos,
-                       out, self.engine.neg(out, q))
-        k0, k1 = self._key_switch(out[1], self.get_galois_key(g), ct.level)
-        c0 = self.engine.add(out[0], k0, q)
-        return CkksCiphertext(xp.stack([c0, k1]), ct.level, ct.scale)
+        q, _ = self._tabs_at(level)
+        cols_idx = np.asarray(list(range(level)) + [self.params.L],
+                              dtype=np.int64)
+        D = self._decompose_cached(ct.data, level)
+        perm = self._galois_perm_eval(g)
+        ksk_b, ksk_a = self._ksk_device(self.get_galois_key(g), level,
+                                        cols_idx)
+        k0, k1 = self._ks_inner(D[..., perm], ksk_b, ksk_a, level)
+        gather, sign_pos = self._galois_perm(g)
+        c0g = ct.data[0][..., gather]
+        sp = xp.asarray(sign_pos) if hasattr(xp, "asarray") else sign_pos
+        c0g = xp.where(sp, c0g, self.engine.neg(c0g, q))
+        c0 = self.engine.add(c0g, k0, q)
+        return CkksCiphertext(xp.stack([c0, k1]), level, ct.scale)
 
 
 # --------------------------------------------------------------------- helpers

@@ -132,3 +132,26 @@ def test_hoisted_rotations_match_sequential():
         want = ctx.decode(ctx.decrypt(ctx.rotate(ct, s))).real
         got = ctx.decode(ctx.decrypt(h)).real
         np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_rotations_share_decomposition():
+    """Transparent hoisting in CkksContext.rotate: k rotations of the SAME
+    ciphertext cost ONE key-switch decomposition (mirrors
+    BfvContext._decompose_cached; tests/test_lazy_relin.py)."""
+    import numpy as np
+    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+
+    params = CkksParams.create(1024, levels=3, engine="np64", seed=5)
+    ctx = CkksContext(params)
+    vals = np.arange(params.slot_count, dtype=np.float64)
+    ct = ctx.encrypt(ctx.encode(vals, level=params.L))
+    for k in ctx.counters:
+        ctx.counters[k] = 0
+    outs = [ctx.rotate(ct, s) for s in (1, 2, 5)]
+    assert ctx.counters["galois"] == 3
+    assert ctx.counters["decomp"] == 1
+    assert ctx.counters["decomp_hit"] == 2
+    for s, o in zip((1, 2, 5), outs):
+        got = ctx.decode(ctx.decrypt(o))
+        want = np.roll(vals, -s)
+        assert np.max(np.abs(np.real(got) - want)) < 1e-2
