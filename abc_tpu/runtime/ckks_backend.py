@@ -19,7 +19,28 @@ from abc_tpu.runtime.values import AbstractCiphertext, Cleartext
 from abc_tpu.utils.errors import RuntimeExecutionError
 
 
+def _zero_pad(data, size: int):
+    """Pad a [k, level, n] component stack with zero components."""
+    if isinstance(data, np.ndarray):
+        xp = np
+    else:
+        import jax.numpy as xp
+    pad = xp.zeros((size - data.shape[0],) + data.shape[1:], dtype=data.dtype)
+    return xp.concatenate([data, pad])
+
+
 class TpuCkksCiphertext(AbstractCiphertext):
+    """Ciphertext handle with LAZY relinearization and rescale (the CKKS
+    analogue of the BFV runtime's deferred key switch,
+    runtime/bfv_backend.py): multiply returns the raw size-3 product at the
+    composed scale; size-3 ciphertexts flow through add/sub (zero-padded)
+    and plaintext ops (plaintexts encode at the operand's CURRENT scale),
+    and decrypt reads c0 + c1·s + c2·s² directly — so a sum of k products
+    costs 0 relins and 0 rescales instead of k each. The key switch and the
+    level-dropping rescale fire only when a later multiply needs a
+    size-2, base-scale operand; rotations relinearize but keep the scale
+    (rotate-reduce over products stays at the product scale)."""
+
     __slots__ = ("ct", "factory")
 
     def __init__(self, ct: CkksCiphertext, factory: "CkksCiphertextFactory"):
@@ -32,40 +53,73 @@ class TpuCkksCiphertext(AbstractCiphertext):
     def _wrap(self, ct):
         return TpuCkksCiphertext(ct, self.factory)
 
-    # ctxt ⊕ ctxt
-    def add(self, other):
-        return self._wrap(self._ctx().add(self.ct, other.ct))
+    def _relin(self) -> CkksCiphertext:
+        """Size-2 form (deferred key switch if this is a raw product)."""
+        return self._ctx().relinearize(self.ct)
 
-    def subtract(self, other):
-        return self._wrap(self._ctx().sub(self.ct, other.ct))
-
-    def multiply(self, other):
-        return self._wrap(self._ctx().multiply(self.ct, other.ct))
-
-    # ctxt ⊕ plain — encrypt-and-operate keeps the implementation small;
-    # plaintext-operand fast paths are a later optimization
-    def _enc(self, cleartext: Cleartext, level: int) -> CkksCiphertext:
-        ct = self.factory._encrypt_values(cleartext.values, level)
+    def _mult_ready(self) -> CkksCiphertext:
+        """Size-2 AND base-scale form: relinearize, then rescale down any
+        composed (product) scale so the next multiply starts clean."""
+        ct = self._relin()
+        base = self.factory.params.scale
+        while ct.scale > base * 1.5 and ct.level > 1:
+            ct = self._ctx().rescale(ct)
         return ct
 
+    def _aligned(self, other):
+        a, b = self.ct, other.ct
+        if a.data.shape[0] < b.data.shape[0]:
+            a = CkksCiphertext(_zero_pad(a.data, b.data.shape[0]),
+                               a.level, a.scale)
+        elif b.data.shape[0] < a.data.shape[0]:
+            b = CkksCiphertext(_zero_pad(b.data, a.data.shape[0]),
+                               b.level, b.scale)
+        return a, b
+
+    # ctxt ⊕ ctxt
+    def add(self, other):
+        a, b = self._aligned(other)
+        return self._wrap(self._ctx().add(a, b))
+
+    def subtract(self, other):
+        a, b = self._aligned(other)
+        return self._wrap(self._ctx().sub(a, b))
+
+    def multiply(self, other):
+        a = self._mult_ready()
+        b = other._mult_ready() if other is not self else a
+        return self._wrap(self._ctx().multiply(
+            a, b, relinearize=False, rescale=False))
+
+    # ctxt ⊕ plain — encrypt-and-operate keeps the implementation small;
+    # plaintext-operand fast paths are a later optimization. Plaintexts
+    # encode at the operand's CURRENT scale so deferred-rescale products
+    # stay addable.
+    def _enc(self, cleartext: Cleartext, level: int,
+             scale: float) -> CkksCiphertext:
+        return self.factory._encrypt_values(cleartext.values, level,
+                                            scale=scale)
+
     def add_plain(self, other):
-        return self._wrap(self._ctx().add(self.ct,
-                                          self._enc(other, self.ct.level)))
+        p = self._wrap(self._enc(other, self.ct.level, self.ct.scale))
+        return self.add(p)
 
     def subtract_plain(self, other):
-        return self._wrap(self._ctx().sub(self.ct,
-                                          self._enc(other, self.ct.level)))
+        p = self._wrap(self._enc(other, self.ct.level, self.ct.scale))
+        return self.subtract(p)
 
     def subtract_from_plain(self, other):
-        return self._wrap(self._ctx().sub(self._enc(other, self.ct.level),
-                                          self.ct))
+        p = self._wrap(self._enc(other, self.ct.level, self.ct.scale))
+        return p.subtract(self)
 
     def multiply_plain(self, other):
+        a = self._mult_ready()
+        p = self._enc(other, a.level, self.factory.params.scale)
         return self._wrap(self._ctx().multiply(
-            self.ct, self._enc(other, self.ct.level)))
+            a, p, relinearize=False, rescale=False))
 
     def rotate_rows(self, steps: int):
-        return self._wrap(self._ctx().rotate(self.ct, steps))
+        return self._wrap(self._ctx().rotate(self._relin(), steps))
 
     def clone(self):
         return TpuCkksCiphertext(self.ct, self.factory)
@@ -91,10 +145,10 @@ class CkksCiphertextFactory(AbstractCiphertextFactory):
     def slot_count(self) -> int:
         return self.params.slot_count
 
-    def _encrypt_values(self, values: Sequence[float], level: Optional[int]
-                        ) -> CkksCiphertext:
+    def _encrypt_values(self, values: Sequence[float], level: Optional[int],
+                        scale: Optional[float] = None) -> CkksCiphertext:
         vals = self.expand_vector([float(v) for v in values])
-        full = self.context.encrypt(self.context.encode(vals))
+        full = self.context.encrypt(self.context.encode(vals, scale=scale))
         if level is not None and level < full.level:
             return self.context.mod_drop_to(full, level)
         return full

@@ -70,6 +70,9 @@ class JittedProgram:
             if decl.datatype.secret:
                 handle = factory.create_ciphertext(cleartext)
                 arr, meta = factory.jit_pack(handle)
+                if not hasattr(arr, "devices"):     # host array → device once
+                    import jax as _jax
+                    arr = _jax.device_put(np.asarray(arr))
                 self.secret_inputs[name] = arr
                 self._input_meta[name] = meta
                 self._secret_types[name] = decl.datatype
@@ -119,8 +122,12 @@ class JittedProgram:
                 jax.eval_shape(fn, self.secret_inputs)
             finally:
                 ctx.record_key_requests(None)
+            # device_put ONCE: keys as host numpy would re-transfer
+            # ~23 MB/key (n=16384) on EVERY call — over a remote-TPU
+            # tunnel that dominates the whole step time
             self._key_args = {
-                k: tuple(np.asarray(x) for x in ctx.materialize_key(k))
+                k: tuple(jax.device_put(np.asarray(x))
+                         for x in ctx.materialize_key(k))
                 for k in sorted(requests)}
 
             def fn_keyed(secret_arrays, key_arrays):

@@ -52,3 +52,34 @@ def test_plain_minus_ciphertext(factory):
         "secret double d = p --- a;",
         "y = d;", factory)
     approx(factory.decrypt(pairs[0][1]), [9.0, 8.0])
+
+
+def test_lazy_relin_and_rescale_counts():
+    """The CKKS runtime defers relinearization AND rescale (mirrors the BFV
+    lazy backend, tests/test_lazy_relin.py): a sum of products decrypts
+    directly from the size-3 form — 0 relins, 0 rescales; a product that
+    feeds another multiply pays exactly one of each."""
+    from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+    from abc_tpu.runtime.values import Cleartext
+    from abc_tpu.utils.datatype import Type
+
+    factory = CkksCiphertextFactory(n=1024, levels=3, seed=4)
+    ctx = factory.context
+
+    def enc(vals):
+        return factory.create_ciphertext(Cleartext(list(vals), Type.DOUBLE))
+
+    a, b, c, d = (enc([v] * 4) for v in (1.5, 2.0, 3.0, 0.5))
+    for k in ctx.counters:
+        ctx.counters[k] = 0
+    s = a.multiply(b).add(c.multiply(d))        # 1.5*2 + 3*0.5 = 4.5
+    got = factory.decrypt(s)[0]
+    assert abs(got - 4.5) < 1e-2
+    assert ctx.counters["mult"] == 2
+    assert ctx.counters["relin"] == 0           # decrypted from size-3
+
+    for k in ctx.counters:
+        ctx.counters[k] = 0
+    deep = a.multiply(b).multiply(c)            # (1.5*2)*3 = 9
+    assert abs(factory.decrypt(deep)[0] - 9.0) < 1e-2
+    assert ctx.counters["relin"] == 1           # only the inner product
