@@ -66,7 +66,7 @@ class BfvContext:
         # BEHZ ct*ct multiplies)
         self.counters: Dict[str, int] = {
             "relin": 0, "galois": 0, "decomp": 0, "decomp_hit": 0,
-            "mult": 0}
+            "mult": 0, "op_ntt": 0, "op_ntt_hit": 0}
         n, moduli = params.n, params.coeff_modulus
         bitsizes = {q.bit_length() for q in moduli}
         assert len(bitsizes) == 1, \
@@ -498,9 +498,38 @@ class BfvContext:
         if a.size != 2 or b.size != 2:
             raise RuntimeExecutionError("multiply expects size-2 ciphertexts")
         self.counters["mult"] += 1
+        if a_pre is None:
+            a_pre = self._operand_cached(a.data)
+        if b_pre is None:
+            b_pre = a_pre if b.data is a.data else \
+                self._operand_cached(b.data)
         ct3 = BfvCiphertext(self._behz.multiply(a.data, b.data,
                                                 pre1=a_pre, pre2=b_pre))
         return self._dbg_check(self.relinearize(ct3) if relinearize else ct3)
+
+    def _operand_cached(self, ct_data):
+        """Operand-NTT forms with an identity-keyed cache: a ciphertext
+        multiplied repeatedly (fixed multiplier in a chain, shared factor
+        in a product tree, squaring) lifts+transforms once — the operand
+        half of SEAL's transform_to_ntt, applied TRANSPARENTLY (same
+        pattern as _decompose_cached for rotations). Each hit skips
+        2·(2L+2) NTT rows + the Bsk lift."""
+        cache = getattr(self, "_op_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+            cache = self._op_cache = OrderedDict()
+        key = id(ct_data)
+        hit = cache.get(key)
+        if hit is not None and hit[0] is ct_data:
+            cache.move_to_end(key)
+            self.counters["op_ntt_hit"] += 1
+            return hit[1]
+        self.counters["op_ntt"] += 1
+        pre = self._behz.precompute_operand(ct_data)
+        cache[key] = (ct_data, pre)
+        while len(cache) > 8:
+            cache.popitem(last=False)
+        return pre
 
     def precompute_mult_operand(self, a: BfvCiphertext):
         """Hoistable per-operand half of `multiply` (NTT forms over q and

@@ -155,3 +155,25 @@ def test_executor_program_counts(factory):
     assert c["relin"] == 0
     name, val = out[0]
     assert factory.decrypt(val)[0] == 1 * 2 + 1 * 3
+
+
+def test_repeated_multiplicand_shares_operand_ntt(factory):
+    """A ciphertext multiplied repeatedly lifts+transforms ONCE (transparent
+    operand-NTT cache, BfvContext._operand_cached — SEAL transform_to_ntt
+    applied automatically); squaring shares the operand too."""
+    a = _enc(factory, [3] * 4)
+    xs = [_enc(factory, [v] * 4) for v in (2, 4, 5)]
+    _reset(factory)
+    outs = [x.multiply(a) for x in xs]           # a is the shared factor
+    c = _counters(factory)
+    assert c["mult"] == 3
+    assert c["op_ntt"] == 4                       # 3 x's + a once
+    assert c["op_ntt_hit"] == 2                   # a's 2nd and 3rd reuse
+    for x, o in zip((2, 4, 5), outs):
+        assert factory.decrypt(o)[0] == 3 * x
+
+    _reset(factory)
+    sq = a.multiply(a)
+    c = _counters(factory)
+    assert factory.decrypt(sq)[0] == 9
+    assert c["op_ntt"] + c["op_ntt_hit"] <= 2     # shared operand lift
