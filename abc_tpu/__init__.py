@@ -19,4 +19,11 @@ Layering (mirrors reference layer map, SURVEY.md §1):
   parallel — device-mesh sharding of ciphertexts (no reference equivalent)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# the one-stop API: parse → compile → run (see README Quick start)
+from abc_tpu.parser import Parser  # noqa: F401,E402
+from abc_tpu.passes.pipeline import (  # noqa: F401,E402
+    CompileOptions, Compiler, compile_program, input_types_from_ast,
+    run_compiled,
+)
