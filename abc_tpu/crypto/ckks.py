@@ -422,6 +422,20 @@ class CkksContext:
             ct = self.rescale(ct)
         return ct
 
+    def multiply_plain(self, ct: CkksCiphertext,
+                       pt: CkksPlaintext) -> CkksCiphertext:
+        """ct × plaintext: pointwise NTT product of every component with the
+        encoded coefficients — no relinearization needed (size preserved),
+        scale composes. The plaintext half of the BSGS matvec
+        (crypto/linalg.matvec_bsgs_ckks)."""
+        level = min(ct.level, pt.level)
+        ct = self.mod_drop_to(ct, level)
+        ntt = self._ntt_at(level)
+        q, mu = self._tabs_at(level)
+        m = self._dev(np.ascontiguousarray(pt.coeffs_rns[:level]))
+        prod = self.engine.mul(ntt.fwd(ct.data), ntt.fwd(m), q, mu)
+        return CkksCiphertext(ntt.inv(prod), level, ct.scale * pt.scale)
+
     def relinearize(self, ct: CkksCiphertext) -> CkksCiphertext:
         if ct.size == 2:
             return ct
@@ -583,6 +597,7 @@ class CkksContext:
                 out.append(CkksCiphertext(ct.data, level, ct.scale))
                 continue
             g = pow(3, s, 2 * n)   # same slot generator as rotate()
+            self.counters["galois"] += 1
             perm = self._galois_perm_eval(g)
             ksk_b, ksk_a = self._ksk_device(self.get_galois_key(g), level,
                                             cols_idx)

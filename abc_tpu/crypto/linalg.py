@@ -99,3 +99,43 @@ def matvec_naive(ctx: BfvContext, ct: BfvCiphertext,
         term = ctx.multiply_plain(rots[d], pt)
         total = term if total is None else ctx.add(total, term)
     return total
+
+
+def matvec_bsgs_ckks(ctx, ct, mat: np.ndarray):
+    """CKKS counterpart of matvec_bsgs: encrypted y = mat·x for a real
+    matrix over the n/2 complex slots — same baby-step/giant-step rotation
+    structure (g baby rotations sharing ONE hoisted decomposition,
+    CkksContext.hoisted_rotations; ~k/g giant rotations), diagonals encoded
+    as CKKS plaintexts and applied via multiply_plain (size-preserving, no
+    relinearization). Result scale = x.scale · plaintext scale; decode uses
+    the tracked scale."""
+    from abc_tpu.crypto.ckks import CkksContext  # noqa: F401 (type doc)
+
+    mat = np.asarray(mat, dtype=np.float64)
+    k = mat.shape[0]
+    n = ctx.params.n
+    if mat.shape != (k, k) or k != n // 2:
+        raise RuntimeExecutionError(
+            f"matvec_bsgs_ckks needs a square matrix of size n/2={n // 2}, "
+            f"got {mat.shape}")
+    g = max(1, int(math.isqrt(k)))
+    n_giant = (k + g - 1) // g
+
+    baby = ctx.hoisted_rotations(ct, list(range(g)))
+    level = ct.level
+
+    total = None
+    for i in range(n_giant):
+        acc = None
+        for j in range(g):
+            d = g * i + j
+            if d >= k:
+                break
+            dd = np.roll(_diag(mat, d), g * i)
+            pt = ctx.encode(list(dd), level=level)
+            term = ctx.multiply_plain(baby[j], pt)
+            acc = term if acc is None else ctx.add(acc, term)
+        if acc is not None:
+            rotated = ctx.rotate(acc, g * i) if i else acc
+            total = rotated if total is None else ctx.add(total, rotated)
+    return total

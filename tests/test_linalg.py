@@ -49,3 +49,30 @@ def test_matvec_naive_matches_numpy():
     out = matvec_naive(ctx, ct, mat)
     got = np.asarray(ctx.decode(ctx.decrypt(out))[:k])
     np.testing.assert_array_equal(got, mat @ x)
+
+
+def test_matvec_bsgs_ckks_matches_numpy():
+    """CKKS BSGS matvec (crypto/linalg.matvec_bsgs_ckks): encrypted
+    mat @ x over the n/2 complex slots matches the numpy product, with
+    O(sqrt k) key switches — g baby rotations sharing one hoisted
+    decomposition + ~k/g giant rotations."""
+    import numpy as np
+    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    from abc_tpu.crypto.linalg import matvec_bsgs_ckks
+
+    params = CkksParams.create(512, levels=3, engine="np64", seed=3)
+    ctx = CkksContext(params)
+    k = params.slot_count
+    rng = np.random.default_rng(0)
+    mat = rng.uniform(-1, 1, (k, k))
+    vec = rng.uniform(-1, 1, k)
+    ct = ctx.encrypt(ctx.encode(vec, level=params.L))
+    for key in ctx.counters:
+        ctx.counters[key] = 0
+    y = matvec_bsgs_ckks(ctx, ct, mat)
+    got = np.real(ctx.decode(ctx.decrypt(y)))
+    assert np.max(np.abs(got - mat @ vec)) < 1e-2
+    g = int(np.sqrt(k))
+    # baby (g-1 nonzero) + giant (k//g - 1 nonzero) rotations, not k-1
+    assert ctx.counters["galois"] <= 2 * g + 2 < k - 1
+    assert ctx.counters["decomp"] <= k // g + 1   # one shared baby decomp
