@@ -4,9 +4,12 @@ The reference plans CKKS but never built it (compile-time define
 HAVE_SEAL_CKKS in CMakeLists.txt:216 and an empty README section
 "CKKS Scheme-Specific Optimizations", README.md:105-107). This module is the
 TPU-native implementation: leveled RNS ciphertexts [2, l, n] uint32, NTT
-tensor products, hybrid (special-prime) key switching shared with the BFV
-construction, and EXACT RNS rescaling (drop the last data prime via centered
-division — no floats on the hot path).
+tensor products, hybrid key switching with configurable digit size
+k = ks_digits (the BFV construction of crypto/bfv.py, leveled: full-level
+keys over α = ⌈L/k⌉ digits stay valid at every level because the partial
+digit's sub-product still recombines exactly — see the factor-table comment
+in __init__), and EXACT RNS rescaling (drop the last data prime via
+centered division — no floats on the hot path).
 
 Encoding uses the canonical embedding via FFT with the same slot→evaluation
 ordering as the BFV batch encoder (exponents ±3^i mod 2n), so Galois slot
@@ -32,23 +35,47 @@ from abc_tpu.utils.errors import RuntimeExecutionError
 @dataclass
 class CkksParams:
     n: int
-    coeff_modulus: List[int]          # data primes + special prime (last)
+    coeff_modulus: List[int]          # data primes + ks_digits special primes (last)
     scale: float = float(1 << 25)
     engine: str = "np64"
     seed: Optional[int] = None
     error_std: float = 3.2
+    ks_digits: int = 1                # hybrid key-switch digit size k = number
+                                      # of special primes; digits = ceil(l/k)
+                                      # at ciphertext level l (see BfvParams)
 
     @property
     def data_primes(self) -> List[int]:
-        return self.coeff_modulus[:-1]
+        return self.coeff_modulus[:self.L]
+
+    @property
+    def special_primes(self) -> List[int]:
+        """The k key-switching special primes (trailing moduli)."""
+        return self.coeff_modulus[self.L:]
 
     @property
     def special_prime(self) -> int:
-        return self.coeff_modulus[-1]
+        """P = product of the special primes (the key-switch scaling factor)."""
+        out = 1
+        for p in self.special_primes:
+            out *= p
+        return out
 
     @property
     def L(self) -> int:
-        return len(self.coeff_modulus) - 1
+        return len(self.coeff_modulus) - self.ks_digits
+
+    @property
+    def num_ks_digits(self) -> int:
+        """α = number of key-switch digits at FULL level."""
+        return -(-self.L // self.ks_digits)
+
+    @property
+    def digit_groups(self) -> List[List[int]]:
+        """Data-prime index groups per key-switch digit (size ≤ k each)."""
+        k = self.ks_digits
+        return [list(range(j * k, min((j + 1) * k, self.L)))
+                for j in range(self.num_ks_digits)]
 
     @property
     def slot_count(self) -> int:
@@ -56,15 +83,18 @@ class CkksParams:
 
     @staticmethod
     def create(n: int, levels: int = 3, engine: str = "np64",
-               seed: Optional[int] = None, scale_bits: int = 25) -> "CkksParams":
+               seed: Optional[int] = None, scale_bits: int = 25,
+               ks_digits: int = 1) -> "CkksParams":
         from abc_tpu.crypto.params import check_modulus_budget
-        primes = gen_ntt_primes(30, levels + 1, n)
-        # 30·(levels+1) total bits must fit the HE-standard budget for n
-        # (same guard as the BFV presets, crypto/params.py); warns on
+        if ks_digits < 1 or ks_digits > levels:
+            raise ValueError(f"ks_digits must be in [1, levels={levels}]")
+        primes = gen_ntt_primes(30, levels + ks_digits, n)
+        # 30·(levels+ks_digits) total bits must fit the HE-standard budget
+        # for n (same guard as the BFV presets, crypto/params.py); warns on
         # dev-grade over-budget sets instead of refusing them.
         check_modulus_budget(n, primes, what=f"CkksParams(n={n}, levels={levels})")
         return CkksParams(n=n, coeff_modulus=primes, scale=float(1 << scale_bits),
-                          engine=engine, seed=seed)
+                          engine=engine, seed=seed, ks_digits=ks_digits)
 
 
 @dataclass
@@ -103,15 +133,26 @@ class CkksContext:
         self.engine = self.ntt_qp.engine
 
         L, P = params.L, params.special_prime
+        k = params.ks_digits
+        self.full = L + k                  # size of the full extended base q∪P
         qs = params.data_primes
         host: Dict[str, np.ndarray] = {}
         host["q_full"] = np.asarray(moduli, dtype=np.uint32).reshape(-1, 1)
         host["mu_full"] = np.asarray([barrett_mu(q) for q in moduli],
                                      dtype=np.uint32).reshape(-1, 1)
-        host["P_mod_q"] = np.asarray([P % q for q in qs],
-                                     dtype=np.uint32).reshape(-1, 1)
-        host["P_inv_mod_q"] = np.asarray([modinv(P, q) for q in qs],
-                                         dtype=np.uint32).reshape(-1, 1)
+        # mod-switch-down: divide by one special prime at a time (specials in
+        # reverse order); per-step tables over the remaining FULL base, sliced
+        # to the active limbs per level at use (rows are absolute limb
+        # indices: data primes 0..L-1, specials L..L+k-1)
+        self._msd_half = []
+        for s in range(k):
+            ps = params.special_primes[s]
+            rest = moduli[:L + s]
+            host[f"msd_p_mod_{s}"] = np.asarray(
+                [ps % r for r in rest], dtype=np.uint32).reshape(-1, 1)
+            host[f"msd_p_inv_{s}"] = np.asarray(
+                [modinv(ps, r) for r in rest], dtype=np.uint32).reshape(-1, 1)
+            self._msd_half.append(ps >> 1)
         # rescale tables: dropping prime q_l needs [q_l]_qj and q_l^{-1} mod qj
         drop_mod = np.zeros((L, L, 1), dtype=np.uint32)
         drop_inv = np.zeros((L, L, 1), dtype=np.uint32)
@@ -122,29 +163,75 @@ class CkksContext:
                     drop_inv[l, j, 0] = modinv(qs[l], qs[j])
         host["drop_mod"] = drop_mod
         host["drop_inv"] = drop_inv
-        self._host = host
-        self.P_half = P >> 1
 
-        # hybrid key-switch factors at every level: P·ω_i^{(l)} mod q_j where
-        # ω is the CRT basis of the level-l modulus q^{(l)} = q_0···q_{l-1}
-        self._ks_factors_by_level: Dict[int, np.ndarray] = {}
-        for level in range(1, L + 1):
-            q_big = 1
-            for q in qs[:level]:
-                q_big *= q
-            fac = np.zeros((level, level + 1, 1), dtype=np.uint32)
-            cols = qs[:level] + [P]
-            for i, qi in enumerate(qs[:level]):
-                qhat = q_big // qi
-                omega = qhat * modinv(qhat % qi, qi)
-                for j, qj in enumerate(cols):
-                    fac[i, j, 0] = (P * omega) % qj
-            self._ks_factors_by_level[level] = fac
+        # hybrid key-switch factors at FULL level: P·W_j mod every modulus,
+        # W_j = Q̂_j·[Q̂_j^{-1}]_{Q_j} over the full data modulus Q (same
+        # construction as BfvContext; see crypto/bfv.py module doc). The keys
+        # stay valid at every lower level l because mod an ACTIVE prime q_r:
+        # W_j ≡ 1 if r ∈ digit j (W_j ≡ 1 mod Q_j and q_r | Q_j regardless of
+        # which other digit primes are dropped), W_j ≡ 0 otherwise — so the
+        # level-restricted digit decomposition (digit products over active
+        # primes only) recombines to d mod q^{(l)} exactly, Lattigo-style.
+        alpha = params.num_ks_digits
+        q_big = 1
+        for q in qs:
+            q_big *= q
+        fac = np.zeros((alpha, self.full, 1), dtype=np.uint32)
+        digit_products = []
+        for j, grp in enumerate(params.digit_groups):
+            Qj = 1
+            for i in grp:
+                Qj *= qs[i]
+            digit_products.append(Qj)
+            qhat = q_big // Qj
+            w = qhat * modinv(qhat % Qj, Qj)
+            for r, qr in enumerate(moduli):
+                fac[j, r, 0] = (P * w) % qr
+        self._ks_factors_full = fac
+
+        # per-level digit fast-base-conversion tables (k ≥ 2): digit groups
+        # intersected with the active limbs; short/partial digits pad with
+        # inv_qhat = 0 rows (contribute exactly 0). Base = active ∪ specials.
+        self._dec_tabs: Dict[int, Dict[str, np.ndarray]] = {}
+        if k > 1:
+            for level in range(1, L + 1):
+                groups = [[i for i in grp if i < level]
+                          for grp in params.digit_groups]
+                groups = [g for g in groups if g]
+                a_l = len(groups)
+                cols = qs[:level] + params.special_primes
+                gather = np.zeros((a_l, k), dtype=np.int64)
+                inv_qhat = np.zeros((a_l, k, 1), dtype=np.uint32)
+                q_src = np.ones((a_l, k, 1), dtype=np.uint32) * np.uint32(qs[0])
+                qhat_ext = np.zeros((a_l, k, level + k, 1), dtype=np.uint32)
+                for j, grp in enumerate(groups):
+                    Qj = 1
+                    for i in grp:
+                        Qj *= qs[i]
+                    for i, gi in enumerate(grp):
+                        qi = qs[gi]
+                        qh = Qj // qi
+                        gather[j, i] = gi
+                        q_src[j, i, 0] = qi
+                        inv_qhat[j, i, 0] = modinv(qh % qi, qi)
+                        for r, qr in enumerate(cols):
+                            qhat_ext[j, i, r, 0] = qh % qr
+                mu_src = np.vectorize(barrett_mu)(
+                    q_src.astype(np.int64)).astype(np.uint32)
+                self._dec_tabs[level] = dict(
+                    alpha=a_l, gather=gather, inv_qhat=inv_qhat,
+                    q_src=q_src, mu_src=mu_src, qhat_ext=qhat_ext)
+        self._host = host
 
         if self._on_device:
             import jax.numpy as jnp
             self._dev = jnp.asarray
-            self._tab = {k: jnp.asarray(v) for k, v in host.items()}
+            self._tab = {name: jnp.asarray(v) for name, v in host.items()}
+            # eager device copies of the per-level decomposition tables
+            # (gather stays host numpy — it is an index set)
+            for level, tabs in self._dec_tabs.items():
+                for name in ("inv_qhat", "q_src", "mu_src", "qhat_ext"):
+                    tabs[name] = jnp.asarray(tabs[name])
         else:
             self._dev = lambda x: x
             self._tab = host
@@ -171,7 +258,8 @@ class CkksContext:
         if self._on_device:
             for level in range(1, L + 1):
                 self.ntt_qp.subset(list(range(level)))
-                self.ntt_qp.subset(list(range(level)) + [L])
+                self.ntt_qp.subset(list(range(level)) +
+                                   list(range(L, L + k)))
 
     # ------------------------------------------------------------------ sampling
     def _sample_ternary(self) -> np.ndarray:
@@ -198,7 +286,7 @@ class CkksContext:
 
     def _keygen(self) -> None:
         L = self.params.L
-        full = list(range(L + 1))
+        full = list(range(self.full))
         self.s_coeffs = self._sample_ternary()
         self.s_ntt_full = self.hqp.fwd(self._lift_signed(self.s_coeffs, full))
         a_ntt = self._uniform_rns(list(range(L)))
@@ -211,20 +299,22 @@ class CkksContext:
 
     # ------------------------------------------------------------------ keys
     def _make_ksk(self, s2_ntt_full: np.ndarray) -> Tuple:
-        """Full-level switching key [L, L+1, n]; leveled use slices rows and
-        limb columns. Host numpy (trace-safe)."""
+        """Full-level switching key [α, L+k, n] (one row per hybrid digit);
+        leveled use slices rows and limb columns. Host numpy (trace-safe)."""
         h = self.hqp
-        L, n = self.params.L, self.params.n
-        ksk_b = np.empty((L, L + 1, n), dtype=np.uint32)
-        ksk_a = np.empty((L, L + 1, n), dtype=np.uint32)
-        fac_full = self._ks_factors_by_level[L]   # [L, L+1, 1]
-        for i in range(L):
-            a_i = self._uniform_rns(list(range(L + 1)))
-            e_i = h.fwd(self._lift_signed(self._sample_error(), list(range(L + 1))))
-            term = h.engine.mul(s2_ntt_full, fac_full[i], h.q, h.mu)
-            ksk_b[i] = h.add(h.sub(h.neg(h.pointwise_mul(a_i, self.s_ntt_full)),
-                                   e_i), term)
-            ksk_a[i] = a_i
+        n, full = self.params.n, self.full
+        alpha = self.params.num_ks_digits
+        ksk_b = np.empty((alpha, full, n), dtype=np.uint32)
+        ksk_a = np.empty((alpha, full, n), dtype=np.uint32)
+        for j in range(alpha):
+            a_j = self._uniform_rns(list(range(full)))
+            e_j = h.fwd(self._lift_signed(self._sample_error(),
+                                          list(range(full))))
+            term = h.engine.mul(s2_ntt_full, self._ks_factors_full[j],
+                                h.q, h.mu)
+            ksk_b[j] = h.add(h.sub(h.neg(h.pointwise_mul(a_j, self.s_ntt_full)),
+                                   e_j), term)
+            ksk_a[j] = a_j
         return ksk_b, ksk_a
 
     # key plumbing for whole-program jit — see BfvContext.record_key_requests
@@ -261,8 +351,7 @@ class CkksContext:
             return ov[f"galois_{g}"]
         if g not in self.galois_keys:
             gather, sign = self._galois_perm_host(g)
-            L = self.params.L
-            s_lift = self._lift_signed(self.s_coeffs, list(range(L + 1)))
+            s_lift = self._lift_signed(self.s_coeffs, list(range(self.full)))
             out = s_lift[..., gather]
             qv = np.asarray(self.hqp.q)
             neg = np.where(out == 0, 0, qv - out.astype(np.uint64)).astype(np.uint32)
@@ -481,34 +570,63 @@ class CkksContext:
             cache = self._ksk_dev_cache = {}
         if ck in cache:
             return cache[ck]
-        dev = (self._dev(ksk_b_full[:level][:, cols_idx]),
-               self._dev(ksk_a_full[:level][:, cols_idx]))
+        alpha = self._alpha_at(level)
+        dev = (self._dev(ksk_b_full[:alpha][:, cols_idx]),
+               self._dev(ksk_a_full[:alpha][:, cols_idx]))
         from abc_tpu.utils.tracing import trace_state_clean
         if trace_state_clean():            # in-trace values are tracers
             cache[ck] = dev
         return dev
 
+    def _ks_cols(self, level: int) -> np.ndarray:
+        """Extended-base limb indices at `level`: active data ∪ all specials."""
+        L, k = self.params.L, self.params.ks_digits
+        return np.asarray(list(range(level)) + list(range(L, L + k)),
+                          dtype=np.int64)
+
+    def _alpha_at(self, level: int) -> int:
+        """Number of hybrid digits intersecting the active limbs."""
+        return -(-level // self.params.ks_digits)
+
     def _decompose_ntt(self, d, level: int):
-        """RNS-decompose d ([level, n]) and lift to base q^(level)∪{P} in
-        NTT domain: [level, level+1, n]. The expensive half of a key switch
-        — hoisted_rotations computes it once per ciphertext."""
-        L, n = self.params.L, self.params.n
-        cols_idx = np.asarray(list(range(level)) + [L], dtype=np.int64)
+        """RNS-decompose d ([level, n]) into α(level) = ⌈level/k⌉ hybrid
+        digits and lift each to base q^(level)∪P in NTT domain:
+        [α, level+k, n]. The expensive half of a key switch —
+        hoisted_rotations computes it once per ciphertext."""
+        n, k = self.params.n, self.params.ks_digits
+        cols_idx = self._ks_cols(level)
+        cols = list(cols_idx)
+        ncols = level + k
         xp = _xp(d)
-        q_cols = self._tab["q_full"][cols_idx].reshape(1, level + 1, 1)
-        lifted = xp.broadcast_to(d[:, None, :], (level, level + 1, n))
-        lifted = xp.where(lifted >= q_cols, lifted - q_cols, lifted)
-        ntt = self.ntt_qp.subset(list(range(level)) + [L])
-        return ntt.fwd(lifted)
+        q_cols = self._tab["q_full"][cols_idx].reshape(1, ncols, 1)
+        if k == 1:
+            # single-limb digits: the lift is a conditional subtract
+            # (uniform 30-bit primes), no multiplies needed
+            lifted = xp.broadcast_to(d[:, None, :], (level, ncols, n))
+            lifted = xp.where(lifted >= q_cols, lifted - q_cols, lifted)
+            return self.ntt_qp.subset(cols).fwd(lifted)
+        # k ≥ 2: fast base conversion of each active digit [d]_{Q_j^(l)}
+        tabs = self._dec_tabs[level]
+        alpha = tabs["alpha"]
+        mu_cols = self._tab["mu_full"][cols_idx].reshape(1, ncols, 1)
+        y_src = d[tabs["gather"].reshape(-1)].reshape(alpha, k, n)
+        y = self.engine.mul(y_src, tabs["inv_qhat"],
+                            tabs["q_src"], tabs["mu_src"])
+        D = None
+        for i in range(k):
+            term = self.engine.mul(
+                xp.broadcast_to(y[:, i:i + 1, :], (alpha, ncols, n)),
+                tabs["qhat_ext"][:, i], q_cols, mu_cols)
+            D = term if D is None else self.engine.add(D, term, q_cols)
+        return self.ntt_qp.subset(cols).fwd(D)
 
     def _ks_inner(self, D, ksk_b, ksk_a, level: int) -> Tuple:
-        L = self.params.L
-        cols = list(range(level)) + [L]
-        cols_idx = np.asarray(cols, dtype=np.int64)
-        ntt = self.ntt_qp.subset(cols)
+        cols_idx = self._ks_cols(level)
+        ncols = len(cols_idx)
+        ntt = self.ntt_qp.subset(list(cols_idx))
         xp = _xp(D)
-        q_cols = self._tab["q_full"][cols_idx].reshape(1, level + 1, 1)
-        mu_cols = self._tab["mu_full"][cols_idx].reshape(1, level + 1, 1)
+        q_cols = self._tab["q_full"][cols_idx].reshape(1, ncols, 1)
+        mu_cols = self._tab["mu_full"][cols_idx].reshape(1, ncols, 1)
         tb = self.engine.mul(D, ksk_b, q_cols, mu_cols)
         ta = self.engine.mul(D, ksk_a, q_cols, mu_cols)
         acc_b = _acc_mod(tb, self._tab["q_full"][cols_idx], self.engine)
@@ -518,25 +636,36 @@ class CkksContext:
                 self._mod_switch_down(acc[1], level))
 
     def _key_switch(self, d, ksk, level: int) -> Tuple:
-        """Hybrid key switch at `level`: rows i < level, limbs
-        {0..level-1} ∪ {P}."""
-        cols_idx = np.asarray(list(range(level)) + [self.params.L],
-                              dtype=np.int64)
-        ksk_b, ksk_a = self._ksk_device(ksk, level, cols_idx)
+        """Hybrid key switch at `level`: α(level) digit rows, limbs
+        {0..level-1} ∪ specials."""
+        ksk_b, ksk_a = self._ksk_device(ksk, level, self._ks_cols(level))
         return self._ks_inner(self._decompose_ntt(d, level),
                               ksk_b, ksk_a, level)
 
     def _mod_switch_down(self, x, level: int):
-        """[level+1, n] over q^(level)∪P → [level, n]: divide by P."""
+        """[level+k, n] over q^(level)∪P → [level, n]: k successive exact
+        centered divisions (x − centered([x]_{p_s}))·p_s^{-1}, last special
+        first (rows ordered [active data..., specials...])."""
+        L, k = self.params.L, self.params.ks_digits
         xp = _xp(x)
-        q, mu = self._tabs_at(level)
-        x_q, x_P = x[:level], x[level]
-        x_P_red = xp.where(x_P >= q, x_P - q, x_P)
-        over = x_P > _u32(xp, self.P_half)
-        corr = xp.where(over, self.engine.sub(x_P_red, self._tab["P_mod_q"][:level], q),
-                        x_P_red)
-        diff = self.engine.sub(x_q, corr, q)
-        return self.engine.mul(diff, self._tab["P_inv_mod_q"][:level], q, mu)
+        for s in reversed(range(k)):
+            rows = level + s
+            idx = np.asarray(list(range(level)) + list(range(L, L + s)),
+                             dtype=np.int64)
+            qv = self._tab["q_full"][idx]
+            muv = self._tab["mu_full"][idx]
+            x_rest, x_p = x[:rows], x[rows]
+            x_p_red = xp.where(x_p >= qv, x_p - qv, x_p)
+            over = x_p > _u32(xp, self._msd_half[s])
+            corr = xp.where(over,
+                            self.engine.sub(x_p_red,
+                                            self._tab[f"msd_p_mod_{s}"][idx],
+                                            qv),
+                            x_p_red)
+            diff = self.engine.sub(x_rest, corr, qv)
+            x = self.engine.mul(diff, self._tab[f"msd_p_inv_{s}"][idx],
+                                qv, muv)
+        return x
 
     # ------------------------------------------------------------------ rotations
     def _galois_perm_eval(self, g: int) -> np.ndarray:
@@ -586,8 +715,7 @@ class CkksContext:
         n = self.params.n
         level = ct.level
         xp = _xp(ct.data)
-        cols_idx = np.asarray(list(range(level)) + [self.params.L],
-                              dtype=np.int64)
+        cols_idx = self._ks_cols(level)
         D = self._decompose_cached(ct.data, level)
         q, _ = self._tabs_at(level)
         out = []
@@ -625,8 +753,7 @@ class CkksContext:
         level = ct.level
         xp = _xp(ct.data)
         q, _ = self._tabs_at(level)
-        cols_idx = np.asarray(list(range(level)) + [self.params.L],
-                              dtype=np.int64)
+        cols_idx = self._ks_cols(level)
         D = self._decompose_cached(ct.data, level)
         perm = self._galois_perm_eval(g)
         ksk_b, ksk_a = self._ksk_device(self.get_galois_key(g), level,

@@ -126,7 +126,8 @@ def save_ckks_context(ctx, path: str, include_secret_key: bool = True
         arrays[f"galois_{g}_a"] = np.asarray(ka)
     meta = dict(n=ctx.params.n, coeff_modulus=ctx.params.coeff_modulus,
                 scale=ctx.params.scale, engine=ctx.params.engine,
-                seed=ctx.params.seed, error_std=ctx.params.error_std)
+                seed=ctx.params.seed, error_std=ctx.params.error_std,
+                ks_digits=ctx.params.ks_digits)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
@@ -138,11 +139,12 @@ def load_ckks_context(path: str):
     params = CkksParams(n=meta["n"],
                         coeff_modulus=list(meta["coeff_modulus"]),
                         scale=meta["scale"], engine=meta["engine"],
-                        seed=meta["seed"], error_std=meta["error_std"])
+                        seed=meta["seed"], error_std=meta["error_std"],
+                        ks_digits=meta.get("ks_digits", 1))
     ctx = CkksContext(params)
     if "s_coeffs" in data:
         ctx.s_coeffs = data["s_coeffs"]
-        full = list(range(params.L + 1))
+        full = list(range(params.L + params.ks_digits))
         ctx.s_ntt_full = ctx.hqp.fwd(ctx._lift_signed(ctx.s_coeffs, full))
     ctx.pk_b_ntt = data["pk_b_ntt"]
     ctx.pk_a_ntt = data["pk_a_ntt"]

@@ -155,3 +155,95 @@ def test_rotations_share_decomposition():
         got = ctx.decode(ctx.decrypt(o))
         want = np.roll(vals, -s)
         assert np.max(np.abs(np.real(got) - want)) < 1e-2
+
+
+# ---------------------------------------------------------------- hybrid KS
+# CKKS analogue of the BFV ks_digits tests (tests/test_bfv.py): the leveled
+# hybrid construction must stay correct at every level, including levels that
+# cut a digit in half (partial digit = sub-product of the active primes).
+
+@pytest.fixture(scope="module")
+def ctx_k2():
+    return CkksContext(CkksParams.create(256, levels=4, seed=7, ks_digits=2))
+
+
+def test_hybrid_decompose_shape(ctx_k2):
+    """k=2, levels=4: the decomposition carries ceil(l/2) digit rows over
+    l+2 extended-base limbs — the row saving that motivates hybrid KS."""
+    ctx = ctx_k2
+    L, n = ctx.params.L, ctx.params.n
+    assert ctx.params.num_ks_digits == 2
+    d = np.zeros((L, n), dtype=np.uint32)
+    D = ctx._decompose_ntt(d, L)
+    assert D.shape == (2, L + 2, n)             # 2*(4+2)=12 rows vs 4*5=20
+    D3 = ctx._decompose_ntt(d[:3], 3)           # partial second digit
+    assert D3.shape == (2, 3 + 2, n)
+
+
+def test_hybrid_multiply_relin_rescale(ctx_k2):
+    ctx = ctx_k2
+    a = ctx.encrypt(ctx.encode([1.0, 2.0, 3.0, 4.0]))
+    b = ctx.encrypt(ctx.encode([0.5, 0.25, 2.0, -1.0]))
+    p = ctx.multiply(a, b)
+    assert p.level == ctx.params.L - 1 and p.size == 2
+    np.testing.assert_allclose(dec(ctx, p), [0.5, 0.5, 6.0, -4.0], rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_hybrid_multiply_depth_two_partial_digit(ctx_k2):
+    """The second multiply relinearizes at level 3 (= a PARTIAL digit with
+    k=2: digits {q0,q1}, {q2}) — exercises the level-restricted sub-product
+    recombination path."""
+    ctx = ctx_k2
+    a = ctx.encrypt(ctx.encode([2.0, -1.5]))
+    b = ctx.encrypt(ctx.encode([3.0, 2.0]))
+    c = ctx.encrypt(ctx.encode([0.5, 4.0]))
+    p = ctx.multiply(ctx.multiply(a, b), c)
+    assert p.level == ctx.params.L - 2
+    np.testing.assert_allclose(dec(ctx, p, 2), [3.0, -12.0], rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_hybrid_rotation_full_and_partial_level(ctx_k2):
+    ctx = ctx_k2
+    half = ctx.params.slot_count
+    vals = np.arange(half, dtype=np.float64)
+    ct = ctx.encrypt(ctx.encode(vals))
+    got = np.real(ctx.decode(ctx.decrypt(ctx.rotate(ct, 3))))
+    np.testing.assert_allclose(got, np.roll(vals, -3), atol=1e-2)
+    low = ctx.mod_drop_to(ct, 3)                # partial digit level
+    got = np.real(ctx.decode(ctx.decrypt(ctx.rotate(low, -2))))
+    np.testing.assert_allclose(got, np.roll(vals, 2), atol=1e-2)
+
+
+def test_hybrid_jx32_bit_exact_np64():
+    """The k=2 key-switch path must be bit-identical across engines (same
+    seed => same keys => same uint32 arrays)."""
+    import jax
+    with jax.default_device(jax.devices("cpu")[0]):
+        p64 = CkksParams.create(256, levels=4, seed=11, ks_digits=2)
+        p32 = CkksParams.create(256, levels=4, seed=11, ks_digits=2,
+                                engine="jx32")
+        c64, c32 = CkksContext(p64), CkksContext(p32)
+        vals = [1.25, -0.75, 2.0]
+        a64 = c64.encrypt(c64.encode(vals))
+        a32 = c32.encrypt(c32.encode(vals))     # same rng stream as c64
+        np.testing.assert_array_equal(np.asarray(a32.data), a64.data)
+        r64 = c64.rotate(c64.multiply(a64, a64), 1)
+        r32 = c32.rotate(c32.multiply(a32, a32), 1)
+        np.testing.assert_array_equal(np.asarray(r64.data),
+                                      np.asarray(r32.data))
+
+
+def test_hybrid_checkpoint_roundtrip(tmp_path):
+    from abc_tpu.utils.checkpoint import load_ckks_context, save_ckks_context
+    ctx = CkksContext(CkksParams.create(256, levels=4, seed=3, ks_digits=2))
+    ct = ctx.encrypt(ctx.encode([4.5, -1.0]))
+    ctx.get_relin_key()
+    path = str(tmp_path / "ckks_k2.npz")
+    save_ckks_context(ctx, path)
+    ctx2 = load_ckks_context(path)
+    assert ctx2.params.ks_digits == 2
+    got = np.real(ctx2.decode(ctx2.decrypt(
+        ctx2.multiply(ct, ct))))[:2]
+    np.testing.assert_allclose(got, [20.25, 1.0], rtol=1e-3, atol=1e-3)
