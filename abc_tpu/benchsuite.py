@@ -194,7 +194,10 @@ def config5_ckks_sharded(chain: int = 256) -> Dict:
     from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
 
     n = 32768
-    params = CkksParams.create(n, levels=8, engine="jx32", seed=3)
+    # hybrid key switching (ks_digits=2) halves the relin decomposition:
+    # ceil(8/2)*(8+2) = 40 forward-NTT rows vs 8*9 = 72 at k=1
+    params = CkksParams.create(n, levels=8, engine="jx32", seed=3,
+                               ks_digits=2)
     ctx = CkksContext(params)
     ctx.get_relin_key()
     L = params.L
@@ -211,8 +214,9 @@ def config5_ckks_sharded(chain: int = 256) -> Dict:
                       f"({jax.default_backend()})",
             "value": round(ops, 2), "unit": "ops/s",
             "vs_baseline": round(ops / 10.0, 2),
-            "note": "coeff-sharded multiply validated bit-exact on the "
-                    "8-device virtual mesh (tests/test_dist_ckks.py); no "
+            "note": "hybrid ks_digits=2 relin (40 decompose-NTT rows vs 72 "
+                    "at k=1); coeff-sharded multiply validated bit-exact on "
+                    "the 8-device virtual mesh (tests/test_dist_ckks.py); no "
                     "multi-chip hardware on this rig to time scaling"}
 
 
