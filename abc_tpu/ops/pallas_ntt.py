@@ -25,11 +25,25 @@ with one entry reduction per stage and a final two-step normalization —
 outputs stay bit-identical to the jnp/np64 paths (asserted in interpret
 mode on CPU and compiled on TPU).
 
-Table packing:
+Table packing (v4 — the kernel is TABLE-BANDWIDTH-bound, not compute-bound;
+an ablation with multiplies/rolls/masks removed moved the time < 6%):
   * the log2(R) sublane-phase stages (t ≥ 128) have lane-constant twiddles,
     so they pack into ONE [R, 128] plane (stage per column, broadcast across
     lanes in-kernel) instead of a full plane per stage;
-  * only the 7 lane-phase stages (t < 128) need full [R, 128] planes.
+  * the 7 lane-phase stages (t < 128) DO vary per lane — but each stage's
+    [R, 128] twiddle plane factors EXACTLY as an outer product
+    A_s[r]·B_s[c] mod q (the twiddle index (r·128+c)//(2t) splits as
+    r·(128/(2t)) + c//(2t) and the ψ-power table is multiplicative across
+    that split; asserted at build time). So instead of streaming
+    7·[R,128]·2 planes per limb (~3.7 MB/limb at n=16384, ~51 MB per
+    14-limb transform — measured to dominate at ~430 GB/s), the kernel
+    loads A_s as 7 extra COLUMNS of the already-resident packed plane and
+    B_s as a tiny [8, 128] block, recombining in-kernel with a second
+    lazy-Shoup multiply: wv = ((x·B) mod' q · A) mod' q, both companions
+    precomputed, both products in [0, 2q) — congruent mod q to the fused
+    product, so the final two-step normalization still yields bit-identical
+    outputs. Table traffic drops ~14×; the kernel moves from HBM-bound to
+    VPU-bound.
 """
 
 from __future__ import annotations
@@ -52,30 +66,64 @@ LANE_STAGES = 7  # log2(LANE): stages with stride < 128
 # host-side table preparation
 # --------------------------------------------------------------------------
 
-def build_tables(n: int, table: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """(packed sublane-phase plane [L, R, 128], lane-phase planes
-    [L, 7, R, 128]) for one twiddle table (values OR Shoup companions).
+def build_tables(n: int, tab_w: np.ndarray, tab_sh: np.ndarray,
+                 q_list: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray, np.ndarray]:
+    """Pack one twiddle-table pair (values + Shoup companions) for the
+    kernels: (packed_w [L,R,128], packed_sh [L,R,128],
+              laneB_w [L,8,128], laneB_sh [L,8,128]).
 
-    table: [L, n] in psi^bitrev layout (NttContext convention: the stage
-    with m blocks uses entries table[m + block_index])."""
-    L = table.shape[0]
+    tab_*: [L, n] in psi^bitrev layout (NttContext convention: the stage
+    with m blocks uses entries table[m + block_index]).
+
+    packed_* columns 0..s1-1 hold the sublane-phase stage twiddles (lane
+    constant); columns s1..s1+6 hold the lane-phase ROW factors A_s[r] =
+    tab[m_s + r·128//(2t_s)] — actual table entries, so their companions
+    come from tab_sh at the same index. laneB_* row k holds the lane factor
+    B_s[c] = tab[m_s + c//(2t_s)]·tab[m_s]^{-1} mod q with a freshly
+    computed companion. The exact outer-product identity
+    A_s[r]·B_s[c] ≡ plane_s[r, c] (mod q) is asserted per stage and limb."""
+    L = tab_w.shape[0]
     logn = n.bit_length() - 1
     R = n // LANE
     s1 = logn - LANE_STAGES                       # sublane-phase stage count
-    packed = np.zeros((L, R, LANE), dtype=np.uint32)
+    packed_w = np.zeros((L, R, LANE), dtype=np.uint32)
+    packed_sh = np.zeros((L, R, LANE), dtype=np.uint32)
     for s in range(s1):
         m = 1 << s
         t = n // (2 * m)
         r = np.arange(R)
-        packed[:, :, s] = table[:, m + r // (2 * t // LANE)]
-    planes = np.empty((L, LANE_STAGES, R, LANE), dtype=np.uint32)
-    j = np.arange(n)
+        idx = m + r // (2 * t // LANE)
+        packed_w[:, :, s] = tab_w[:, idx]
+        packed_sh[:, :, s] = tab_sh[:, idx]
+    laneB_w = np.zeros((L, 8, LANE), dtype=np.uint32)
+    laneB_sh = np.zeros((L, 8, LANE), dtype=np.uint32)
+    r = np.arange(R)
+    c = np.arange(LANE)
     for k in range(LANE_STAGES):
         s = s1 + k
         m = 1 << s
         t = n // (2 * m)
-        planes[:, k] = table[:, m + j // (2 * t)].reshape(L, R, LANE)
-    return packed, planes
+        a_idx = m + (r * LANE) // (2 * t)
+        packed_w[:, :, s] = tab_w[:, a_idx]       # A_s[r] (+ companion)
+        packed_sh[:, :, s] = tab_sh[:, a_idx]
+        b_idx = m + c // (2 * t)
+        for l in range(L):
+            q = int(q_list[l])
+            base = int(tab_w[l, m])
+            inv0 = pow(base, q - 2, q)            # q prime
+            B = (tab_w[l, b_idx].astype(np.uint64) * inv0) % q
+            laneB_w[l, k] = B.astype(np.uint32)
+            laneB_sh[l, k] = np.asarray(
+                [(int(b) << 32) // q for b in B], dtype=np.uint64
+            ).astype(np.uint32)
+            # outer-product exactness: A[r]·B[c] ≡ table[m + j//(2t)] mod q
+            plane = tab_w[l, m + (r[:, None] * LANE + c[None, :]) // (2 * t)]
+            recon = (tab_w[l, a_idx].astype(np.uint64)[:, None]
+                     * B[None, :]) % q
+            assert np.array_equal(recon.astype(np.uint32), plane), \
+                f"twiddle plane not rank-1 at stage {s}, limb {l}"
+    return packed_w, packed_sh, laneB_w, laneB_sh
 
 
 _TABLE_CACHE: Dict[int, Tuple] = {}
@@ -98,10 +146,11 @@ def get_tables(ctx) -> Tuple:
             return host[name] if host and name in host \
                 else np.asarray(getattr(ctx, name))
 
-        fpw, flw = build_tables(n, tab("fwd_tw"))
-        fps, fls = build_tables(n, tab("fwd_tw_sh"))
-        ipw, ilw = build_tables(n, tab("inv_tw"))
-        ips, ils = build_tables(n, tab("inv_tw_sh"))
+        q_list = tab("q").astype(np.uint64).reshape(-1)
+        fpw, fps, flw, fls = build_tables(n, tab("fwd_tw"),
+                                          tab("fwd_tw_sh"), q_list)
+        ipw, ips, ilw, ils = build_tables(n, tab("inv_tw"),
+                                          tab("inv_tw_sh"), q_list)
         ninv = tab("n_inv").astype(np.uint32).reshape(-1, 1)
         ninv_sh = tab("n_inv_sh").astype(np.uint32).reshape(-1, 1)
         _TABLE_CACHE[key] = (fpw, fps, flw, fls, ipw, ips, ilw, ils,
@@ -154,77 +203,105 @@ def _is_u_mask(n: int, t: int):
     return (c_ids % (2 * t)) < t
 
 
-def _stage_tw(n, s, packed, planes):
-    """Twiddle plane for stage s (broadcast from the packed column for
-    sublane-phase stages)."""
+def _stage_mul(n, s, sel, pw, psh, lw, lsh, q):
+    """wv ∈ [0, 2q) ≡ sel·w_s (mod q) for stage s.
+
+    Sublane-phase stages (lane-constant twiddles) use one lazy Shoup
+    product with the packed-column twiddle. Lane-phase stages recombine the
+    rank-1 factorization w = A[r]·B[c] with TWO lazy Shoup products
+    ((sel·B)·A) — both companions precomputed, both results in [0, 2q),
+    congruent mod q to the fused product (see module doc)."""
+    R = n // LANE
     logn = n.bit_length() - 1
     s1 = logn - LANE_STAGES
     if s < s1:
-        col = packed[:, s:s + 1]                   # [R, 1]
-        return jnp.broadcast_to(col, (n // LANE, LANE))
-    return planes[s - s1]
+        w = jnp.broadcast_to(pw[:, s:s + 1], (R, LANE))
+        wsh = jnp.broadcast_to(psh[:, s:s + 1], (R, LANE))
+        return _mul_shoup_lazy(sel, w, wsh, q)
+    k = s - s1
+    b = jnp.broadcast_to(lw[k:k + 1, :], (R, LANE))
+    bsh = jnp.broadcast_to(lsh[k:k + 1, :], (R, LANE))
+    a = jnp.broadcast_to(pw[:, s:s + 1], (R, LANE))
+    ash = jnp.broadcast_to(psh[:, s:s + 1], (R, LANE))
+    return _mul_shoup_lazy(_mul_shoup_lazy(sel, b, bsh, q), a, ash, q)
 
 
-def _fwd_kernel(n: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref, lsh_ref,
-                out_ref):
+def _fwd_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
+                lsh_ref, out_ref):
     i = pl.program_id(0)
-    q = q_ref[i, 0]
-    two_q = q + q
-    x = x_ref[0, 0]
-    pw, psh = pw_ref[0], psh_ref[0]
     logn = n.bit_length() - 1
     # Harvey-style lazy butterflies: the stage invariant is x < 4q
     # (4q < 2^32 for 30-bit primes); one entry reduction to < 2q, lazy
     # Shoup products in [0, 2q), outputs back under 4q. Exact values
     # restored by the final two-step normalization — outputs bit-identical.
-    for s in range(logn):
-        t = n // (2 << s)
-        w = _stage_tw(n, s, pw, lw_ref[0])
-        wsh = _stage_tw(n, s, psh, lsh_ref[0])
-        is_u = _is_u_mask(n, t)
-        xr = jnp.where(x >= two_q, x - two_q, x)          # < 2q
-        hi = _roll(xr, -1, t)
-        lo = _roll(xr, 1, t)
-        wv = _mul_shoup_lazy(jnp.where(is_u, hi, xr), w, wsh, q)
-        x = jnp.where(is_u, xr + wv, lo + (two_q - wv))   # < 4q
-    x = jnp.where(x >= two_q, x - two_q, x)
-    out_ref[0, 0] = jnp.where(x >= q, x - q, x)
+    for g in range(G):
+        q = q_ref[i * G + g, 0]
+        two_q = q + q
+        x = x_ref[0, 0, g]
+        pw, psh = pw_ref[g], psh_ref[g]
+        lw, lsh = lw_ref[g], lsh_ref[g]
+        for s in range(logn):
+            t = n // (2 << s)
+            is_u = _is_u_mask(n, t)
+            xr = jnp.where(x >= two_q, x - two_q, x)          # < 2q
+            hi = _roll(xr, -1, t)
+            lo = _roll(xr, 1, t)
+            wv = _stage_mul(n, s, jnp.where(is_u, hi, xr),
+                            pw, psh, lw, lsh, q)
+            x = jnp.where(is_u, xr + wv, lo + (two_q - wv))   # < 4q
+        x = jnp.where(x >= two_q, x - two_q, x)
+        out_ref[0, 0, g] = jnp.where(x >= q, x - q, x)
 
 
-def _inv_kernel(n: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref, lsh_ref,
-                ninv_ref, ninvsh_ref, out_ref):
+def _inv_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
+                lsh_ref, ninv_ref, ninvsh_ref, out_ref):
     i = pl.program_id(0)
-    q = q_ref[i, 0]
-    two_q = q + q
-    x = x_ref[0, 0]
-    pw, psh = pw_ref[0], psh_ref[0]
     logn = n.bit_length() - 1
     # Gentleman-Sande with the x < 2q lazy invariant: sums reduced once,
     # differences fed to the lazy Shoup product as (u − v + 2q) < 4q.
-    for s in range(logn - 1, -1, -1):
-        t = n // (2 << s)
-        w = _stage_tw(n, s, pw, lw_ref[0])
-        wsh = _stage_tw(n, s, psh, lsh_ref[0])
-        is_u = _is_u_mask(n, t)
-        hi = _roll(x, -1, t)
-        lo = _roll(x, 1, t)
-        u_new = x + hi                                     # < 4q
-        u_new = jnp.where(u_new >= two_q, u_new - two_q, u_new)
-        v_new = _mul_shoup_lazy(lo + (two_q - x), w, wsh, q)
-        x = jnp.where(is_u, u_new, v_new)                  # < 2q
-    ninv = jnp.broadcast_to(ninv_ref[i, 0], x.shape)
-    ninvsh = jnp.broadcast_to(ninvsh_ref[i, 0], x.shape)
-    out_ref[0, 0] = _mul_shoup(x, ninv, ninvsh, q)
+    for g in range(G):
+        q = q_ref[i * G + g, 0]
+        two_q = q + q
+        x = x_ref[0, 0, g]
+        pw, psh = pw_ref[g], psh_ref[g]
+        lw, lsh = lw_ref[g], lsh_ref[g]
+        for s in range(logn - 1, -1, -1):
+            t = n // (2 << s)
+            is_u = _is_u_mask(n, t)
+            hi = _roll(x, -1, t)
+            lo = _roll(x, 1, t)
+            u_new = x + hi                                     # < 4q
+            u_new = jnp.where(u_new >= two_q, u_new - two_q, u_new)
+            v_new = _stage_mul(n, s, lo + (two_q - x), pw, psh, lw, lsh, q)
+            x = jnp.where(is_u, u_new, v_new)                  # < 2q
+        ninv = jnp.broadcast_to(ninv_ref[i * G + g, 0], x.shape)
+        ninvsh = jnp.broadcast_to(ninvsh_ref[i * G + g, 0], x.shape)
+        out_ref[0, 0, g] = _mul_shoup(x, ninv, ninvsh, q)
 
 
 # --------------------------------------------------------------------------
 # callable wrappers
 # --------------------------------------------------------------------------
 #
-# Grid layout: (L, B) with the LIMB axis OUTER, so each limb's twiddle
-# tables load into VMEM once and stay resident while the inner batch axis
-# sweeps over it (Pallas skips re-fetch when the index map is unchanged).
-# No table tiling → table HBM traffic is O(L·n), independent of batch.
+# Grid layout: (ngroups, B) where each grid step processes a GROUP of G
+# limbs (statically unrolled in-kernel). Measured on v5e: a grid step costs
+# ~7.5 µs of launch/DMA-orchestration overhead REGARDLESS of the body (a
+# zero-stage kernel at grid (14,1) still takes ~105 µs/transform), so the
+# old one-limb-per-step layout was overhead-bound, not compute- or
+# bandwidth-bound. Grouping all limbs of a transform into one step removes
+# ~(L−L/G)·7.5 µs. G is capped by the ~16 MB VMEM (double-buffered x/out +
+# packed tables ≈ 32·G·n bytes); when G < L the limb axis is padded to a
+# multiple of G with copies of limb 0 (their outputs are sliced away).
+
+VMEM_BUDGET = 12 << 20
+
+
+def _group(L: int, n: int) -> Tuple[int, int]:
+    gmax = max(1, VMEM_BUDGET // (32 * n))
+    G = min(L, gmax)
+    ngroups = -(-L // G)
+    return G, ngroups
+
 
 def _prep(a, q, n):
     batch_shape = a.shape[:-2]
@@ -232,18 +309,33 @@ def _prep(a, q, n):
     assert q.shape[0] == L, "limb axis must match the moduli table"
     B = int(np.prod(batch_shape)) if batch_shape else 1
     sub = n // LANE
+    G, ngroups = _group(L, n)
+    Lp = G * ngroups
     a4 = a.reshape(B, L, sub, LANE)
-    return B, L, sub, a4, q.reshape(L, 1)
+    if Lp != L:
+        a4 = jnp.concatenate([a4, a4[:, :Lp - L]], axis=1)
+    a5 = a4.reshape(B, ngroups, G, sub, LANE)
+    return B, L, G, ngroups, sub, a5
 
 
-def _xblk(sub):
-    return pl.BlockSpec((1, 1, sub, LANE), (lambda l, b: (b, l, 0, 0)),
+def _pad_limbs(t, Lp):
+    """Pad a limb-leading table to Lp rows with copies of the first rows
+    (loop-invariant: XLA hoists the concat out of scan/fori bodies)."""
+    L = t.shape[0]
+    if L == Lp:
+        return t
+    return jnp.concatenate([t, t[:Lp - L]], axis=0)
+
+
+def _xblk(G, sub):
+    return pl.BlockSpec((1, 1, G, sub, LANE),
+                        (lambda l, b: (b, l, 0, 0, 0)),
                         memory_space=pltpu.VMEM)
 
 
-def _tblk(shape_tail):
+def _tblk(G, shape_tail):
     nd = len(shape_tail)
-    return pl.BlockSpec((1,) + shape_tail,
+    return pl.BlockSpec((G,) + shape_tail,
                         (lambda l, b: (l,) + (0,) * nd),
                         memory_space=pltpu.VMEM)
 
@@ -252,41 +344,50 @@ def _tblk(shape_tail):
 def pallas_fwd_ntt(a, q, pw, psh, lw, lsh, *, n: int,
                    interpret: bool = False):
     """Forward negacyclic NTT of [..., L, n]; tables from get_tables()."""
-    B, L, sub, a4, q2 = _prep(a, q, n)
+    B, L, G, ngroups, sub, a5 = _prep(a, q, n)
+    Lp = G * ngroups
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n),
-        grid=(L, B),
+        functools.partial(_fwd_kernel, n, G),
+        grid=(ngroups, B),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _xblk(sub), _tblk((sub, LANE)), _tblk((sub, LANE)),
-                  _tblk((LANE_STAGES, sub, LANE)),
-                  _tblk((LANE_STAGES, sub, LANE))],
-        out_specs=_xblk(sub),
-        out_shape=jax.ShapeDtypeStruct((B, L, sub, LANE), jnp.uint32),
+                  _xblk(G, sub),
+                  _tblk(G, (sub, LANE)), _tblk(G, (sub, LANE)),
+                  _tblk(G, (8, LANE)), _tblk(G, (8, LANE))],
+        out_specs=_xblk(G, sub),
+        out_shape=jax.ShapeDtypeStruct((B, ngroups, G, sub, LANE),
+                                       jnp.uint32),
         interpret=interpret,
-    )(q2, a4, pw, psh, lw, lsh)
-    return out.reshape(a.shape)
+    )(_pad_limbs(q.reshape(L, 1), Lp), a5,
+      _pad_limbs(pw, Lp), _pad_limbs(psh, Lp),
+      _pad_limbs(lw, Lp), _pad_limbs(lsh, Lp))
+    return out.reshape(B, Lp, n)[:, :L].reshape(a.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
 def pallas_inv_ntt(a, q, pw, psh, lw, lsh, ninv, ninv_sh, *, n: int,
                    interpret: bool = False):
     """Inverse negacyclic NTT of [..., L, n]."""
-    B, L, sub, a4, q2 = _prep(a, q, n)
+    B, L, G, ngroups, sub, a5 = _prep(a, q, n)
+    Lp = G * ngroups
     out = pl.pallas_call(
-        functools.partial(_inv_kernel, n),
-        grid=(L, B),
+        functools.partial(_inv_kernel, n, G),
+        grid=(ngroups, B),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _xblk(sub), _tblk((sub, LANE)), _tblk((sub, LANE)),
-                  _tblk((LANE_STAGES, sub, LANE)),
-                  _tblk((LANE_STAGES, sub, LANE)),
+                  _xblk(G, sub),
+                  _tblk(G, (sub, LANE)), _tblk(G, (sub, LANE)),
+                  _tblk(G, (8, LANE)), _tblk(G, (8, LANE)),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=_xblk(sub),
-        out_shape=jax.ShapeDtypeStruct((B, L, sub, LANE), jnp.uint32),
+        out_specs=_xblk(G, sub),
+        out_shape=jax.ShapeDtypeStruct((B, ngroups, G, sub, LANE),
+                                       jnp.uint32),
         interpret=interpret,
-    )(q2, a4, pw, psh, lw, lsh,
-      jnp.asarray(ninv).reshape(L, 1), jnp.asarray(ninv_sh).reshape(L, 1))
-    return out.reshape(a.shape)
+    )(_pad_limbs(q.reshape(L, 1), Lp), a5,
+      _pad_limbs(pw, Lp), _pad_limbs(psh, Lp),
+      _pad_limbs(lw, Lp), _pad_limbs(lsh, Lp),
+      _pad_limbs(jnp.asarray(ninv).reshape(L, 1), Lp),
+      _pad_limbs(jnp.asarray(ninv_sh).reshape(L, 1), Lp))
+    return out.reshape(B, Lp, n)[:, :L].reshape(a.shape)
 
 
 class NttKernels:
