@@ -215,9 +215,10 @@ def config5_ckks_sharded(chain: int = 256) -> Dict:
             "value": round(ops, 2), "unit": "ops/s",
             "vs_baseline": round(ops / 10.0, 2),
             "note": "hybrid ks_digits=2 relin (40 decompose-NTT rows vs 72 "
-                    "at k=1); coeff-sharded multiply validated bit-exact on "
-                    "the 8-device virtual mesh (tests/test_dist_ckks.py); no "
-                    "multi-chip hardware on this rig to time scaling"}
+                    "at k=1); the coeff-sharded multiply is validated "
+                    "bit-exact separately at ks_digits=1 on the 8-device "
+                    "virtual mesh (tests/test_dist_ckks.py); this timing is "
+                    "single-device k=2"}
 
 
 def config6_laplace_n16384_e2e() -> Dict:
@@ -331,6 +332,8 @@ _FAST_KW = {
 def run_suite_dict(configs=None, fast: bool = False) -> Dict[str, Dict]:
     """Run the staged suite and return {config name: result dict} (used by
     bench.py to embed all five BASELINE configs in the one-line artifact)."""
+    from abc_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     out: Dict[str, Dict] = {}
     for k in sorted(configs or CONFIGS):
         kw = _FAST_KW.get(k, {}) if fast else {}

@@ -44,6 +44,13 @@ class CkksParams:
                                       # of special primes; digits = ceil(l/k)
                                       # at ciphertext level l (see BfvParams)
 
+    def __post_init__(self):
+        if not 1 <= self.ks_digits < len(self.coeff_modulus):
+            raise ValueError(
+                f"ks_digits={self.ks_digits} must satisfy 1 <= ks_digits < "
+                f"len(coeff_modulus)={len(self.coeff_modulus)} (there must "
+                f"be at least one data prime)")
+
     @property
     def data_primes(self) -> List[int]:
         return self.coeff_modulus[:self.L]

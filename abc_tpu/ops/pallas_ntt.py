@@ -121,8 +121,12 @@ def build_tables(n: int, tab_w: np.ndarray, tab_sh: np.ndarray,
             plane = tab_w[l, m + (r[:, None] * LANE + c[None, :]) // (2 * t)]
             recon = (tab_w[l, a_idx].astype(np.uint64)[:, None]
                      * B[None, :]) % q
-            assert np.array_equal(recon.astype(np.uint32), plane), \
-                f"twiddle plane not rank-1 at stage {s}, limb {l}"
+            if not np.array_equal(recon.astype(np.uint32), plane):
+                raise RuntimeError(
+                    f"twiddle plane not rank-1 at stage {s}, limb {l}: the "
+                    f"outer-product factorization A[r]*B[c] does not "
+                    f"reconstruct the stage twiddles — NTT outputs would be "
+                    f"silently wrong")
     return packed_w, packed_sh, laneB_w, laneB_sh
 
 

@@ -43,9 +43,10 @@ class DistCkksMultiplier:
         self.ctx = ctx
         self.mesh = mesh
         self.axis = axis
-        assert ctx.params.ks_digits == 1, \
-            "DistCkks implements the single-special-prime (k=1) key-switch " \
-            "layout; build the context with ks_digits=1"
+        if ctx.params.ks_digits != 1:
+            raise ValueError(
+                "DistCkks implements the single-special-prime (k=1) "
+                "key-switch layout; build the context with ks_digits=1")
         L = ctx.params.L
         self.level = L
         n = ctx.params.n

@@ -57,9 +57,10 @@ def _local_key_switch_partials(ctx: BfvContext, d, ksk_b, ksk_a,
                formulation, matching BfvContext.apply_galois)
     returns ([L+1, n], [L+1, n]) partial sums (pre-psum)
     """
-    assert ctx.params.ks_digits == 1, \
-        "limb-sharded key switching implements the k=1 layout; build the " \
-        "context with ks_digits=1"
+    if ctx.params.ks_digits != 1:
+        raise ValueError(
+            "limb-sharded key switching implements the k=1 layout; build "
+            "the context with ks_digits=1")
     full = ctx.params.L + 1
     n = ctx.params.n
     Lk = d.shape[0]
