@@ -171,6 +171,8 @@ def main(argv=None) -> int:
                     help="modarith engine for the bfv backend")
     args = ap.parse_args(argv)
 
+    from abc_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     result = run_benchmark(args.benchmark, args.backend, args.slots, args.runs,
                            args.engine)
     outputs = result.pop("_outputs", {})

@@ -56,6 +56,8 @@ import numpy as np
 import jax, jax.numpy as jnp
 if len(sys.argv) > 1 and sys.argv[1] == "cpu":
     jax.config.update("jax_platforms", "cpu")
+from abc_tpu.utils.compcache import enable_persistent_cache
+enable_persistent_cache()
 from abc_tpu.crypto.behz import BehzContext
 from abc_tpu.crypto.bfv import BfvCiphertext, BfvContext
 from abc_tpu.crypto.ntt import NttContext
@@ -89,13 +91,15 @@ def chain(x, y):
 
 # BATCH independent dependent-chains vmapped into one executable: the
 # BASELINE.json metric is *batched* ct mult+relin/s; the chains stay
-# DEPENDENT inside so the number still reflects depth.
+# DEPENDENT inside so the number still reflects depth. The single-ct chain
+# is reported alongside every round (round-over-round comparability).
 batched = jax.jit(jax.vmap(chain))
 arg_a = jnp.broadcast_to(jnp.asarray(np.asarray(a.data))[None],
                          (BATCH,) + a.data.shape)
 arg_b = jnp.broadcast_to(jnp.asarray(np.asarray(b.data))[None],
                          (BATCH,) + b.data.shape)
 t_mult = timed(batched, arg_a, arg_b)
+t_single = timed(jax.jit(chain), arg_a[0], arg_b[0])
 
 # --- headline: RNS-NTT butterflies/s/chip @ n=16384 -------------------------
 # Full production limb chain (BFVDefault-style 13 data + 1 special prime);
@@ -119,6 +123,7 @@ bfs = CHAIN_NTT * butterflies_per_fwd / t_ntt
 print(json.dumps({
     "backend": backend,
     "ops_per_s": BATCH * CHAIN / t_mult,
+    "single_ct_ops_per_s": CHAIN / t_single,
     "per_op_latency_ms": t_mult / CHAIN * 1e3 / BATCH,
     "ntt_butterflies_per_s": bfs,
     "ntt_rows": rows,
@@ -128,6 +133,8 @@ print(json.dumps({
 
 _SUITE_WORKER = r"""
 import json, sys
+from abc_tpu.utils.compcache import enable_persistent_cache
+enable_persistent_cache()
 from abc_tpu.benchsuite import run_suite_dict
 print(json.dumps(run_suite_dict(fast=True)))
 """
@@ -174,13 +181,8 @@ def main() -> None:
     suite = _run_worker(_SUITE_WORKER, "suite", SUITE_TIMEOUT_S)
     ops = result["ops_per_s"]
     bfs = result.get("ntt_butterflies_per_s", 0.0)
-    line = {
-        "metric": f"bfv_n{N}_ct_mult_relin_batched{BATCH} "
-                  f"({result['backend']}{suffix})",
-        "value": round(ops, 2),
-        "unit": "ops/s",
-        "vs_baseline": round(ops / SEAL_CPU_BASELINE_OPS_PER_S, 2),
-        "ntt": {
+    full = {
+        "headline_ntt": {
             "metric": f"rns_ntt_butterflies_per_s_chip_n{N_NTT}"
                       f"_L{result.get('ntt_rows', 0)}",
             "value": round(bfs / 1e9, 3),
@@ -190,10 +192,57 @@ def main() -> None:
                 round(100 * bfs / VPU_SOL_BUTTERFLIES_PER_S, 1),
             "vs_baseline": round(bfs / SEAL_CPU_NTT_BUTTERFLIES_PER_S, 2),
         },
+        "mult_relin": {
+            "metric": f"bfv_n{N}_ct_mult_relin ({result['backend']}{suffix})",
+            "batched8_ops_per_s": round(ops, 2),
+            "single_ct_ops_per_s":
+                round(result.get("single_ct_ops_per_s", 0.0), 2),
+            "vs_baseline": round(ops / SEAL_CPU_BASELINE_OPS_PER_S, 2),
+        },
         "suite": suite if suite is not None
         else {"error": "suite worker failed/timed out"},
     }
-    print(json.dumps(line))
+    # full record to a file; ONE compact line (<1500 chars) to stdout so the
+    # driver's tail capture keeps the headline intact (round-2 lesson:
+    # BENCH_r02.json had "parsed": null because the line overflowed)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_suite.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    line = {
+        "metric": full["headline_ntt"]["metric"]
+        + f" ({result['backend']}{suffix})",
+        "value": full["headline_ntt"]["value"],
+        "unit": "Gbutterflies/s",
+        "vs_baseline": full["headline_ntt"]["vs_baseline"],
+        "pct_sol": full["headline_ntt"]["pct_vpu_speed_of_light"],
+        "mult_relin_n8192_ops_s": {
+            "batched8": full["mult_relin"]["batched8_ops_per_s"],
+            "single_ct": full["mult_relin"]["single_ct_ops_per_s"]},
+        "suite": _compact_suite(suite),
+        "full": "bench_suite.json",
+    }
+    out = json.dumps(line)
+    if len(out) > 1500:  # belt-and-braces: drop the suite digest
+        line["suite"] = "see bench_suite.json"
+        out = json.dumps(line)
+    print(out)
+
+
+def _compact_suite(suite):
+    """Digest the staged-suite dict down to config → headline value."""
+    if not isinstance(suite, dict):
+        return "suite worker failed/timed out"
+    digest = {}
+    for k, v in sorted(suite.items()):
+        if not isinstance(v, dict):
+            continue
+        entry = {"value": v.get("value"), "unit": v.get("unit", "")[:24]}
+        if "error" in v:
+            entry["error"] = str(v["error"])[:60]
+        if "csv_schema" in v:
+            entry["csv"] = v["csv_schema"]
+        digest[k] = entry
+    return digest
 
 
 if __name__ == "__main__":
