@@ -37,20 +37,30 @@ from typing import Dict
 
 
 def _chain_ops_per_s(step, arg0, args, chain: int, repeats: int = 3) -> float:
-    """ops/s of `step` chained `chain` deep under fori_loop (TPU-safe)."""
+    """Steady-state ops/s of `step` chained under fori_loop, measured at TWO
+    chain lengths and differenced — the axon-tunneled TPU adds a ~22 ms
+    fixed per-dispatch latency (scripts/ntt_ablation.py) that a single
+    chain-length timing folds into the per-op number."""
     import jax
 
-    @jax.jit
-    def chained(x):
-        return jax.lax.fori_loop(0, chain, lambda i, v: step(v, *args), x)
+    def make(c):
+        @jax.jit
+        def chained(x):
+            return jax.lax.fori_loop(0, c, lambda i, v: step(v, *args), x)
+        return chained
 
-    jax.block_until_ready(chained(arg0))
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chained(arg0))
-        times.append(time.perf_counter() - t0)
-    return chain / min(times)
+    def best(f):
+        jax.block_until_ready(f(arg0))
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(arg0))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_full = best(make(chain))
+    t_half = best(make(chain // 2))
+    return (chain // 2) / max(t_full - t_half, 1e-9)
 
 
 # --------------------------------------------------------------------------

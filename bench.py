@@ -77,6 +77,18 @@ def timed(f, *args):
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
+# Two-point chain timing: the axon-tunneled TPU adds a LARGE fixed
+# per-dispatch latency (measured ~22 ms, scripts/ntt_ablation.py) that a
+# single chain-length measurement folds into the per-op number (the round-2
+# NTT headline under-reported the kernel 2.4x because of it). Timing the
+# same chain at full and half length and differencing cancels the fixed
+# cost exactly: per_iter = (t(c) - t(c/2)) / (c/2).
+
+def timed_per_iter(make_chain, chain, *args):
+    t_full = timed(make_chain(chain), *args)
+    t_half = timed(make_chain(chain // 2), *args)
+    return (t_full - t_half) / (chain // 2), 2 * t_half - t_full
+
 # --- config 2: batched ct-ct mult+relin at n=8192 --------------------------
 ctx = BfvContext(BfvParams.create(N, engine="jx32", seed=123))
 ctx.get_relin_key()
@@ -86,20 +98,25 @@ b = ctx.encrypt(ctx.encode([5, 6, 7, 8]))
 def mult(x, y):
     return ctx.multiply(BfvCiphertext(x), BfvCiphertext(y)).data
 
-def chain(x, y):
-    return jax.lax.fori_loop(0, CHAIN, lambda i, v: mult(v, y), x)
+def make_chain(c):
+    def chain(x, y):
+        return jax.lax.fori_loop(0, c, lambda i, v: mult(v, y), x)
+    return chain
+
+def make_batched(c):
+    return jax.jit(jax.vmap(make_chain(c)))
 
 # BATCH independent dependent-chains vmapped into one executable: the
 # BASELINE.json metric is *batched* ct mult+relin/s; the chains stay
 # DEPENDENT inside so the number still reflects depth. The single-ct chain
 # is reported alongside every round (round-over-round comparability).
-batched = jax.jit(jax.vmap(chain))
 arg_a = jnp.broadcast_to(jnp.asarray(np.asarray(a.data))[None],
                          (BATCH,) + a.data.shape)
 arg_b = jnp.broadcast_to(jnp.asarray(np.asarray(b.data))[None],
                          (BATCH,) + b.data.shape)
-t_mult = timed(batched, arg_a, arg_b)
-t_single = timed(jax.jit(chain), arg_a[0], arg_b[0])
+t_mult, fixed_mult = timed_per_iter(make_batched, CHAIN, arg_a, arg_b)
+t_single, _ = timed_per_iter(lambda c: jax.jit(make_chain(c)), CHAIN,
+                             arg_a[0], arg_b[0])
 
 # --- headline: RNS-NTT butterflies/s/chip @ n=16384 -------------------------
 # Full production limb chain (BFVDefault-style 13 data + 1 special prime);
@@ -112,22 +129,26 @@ rng = np.random.default_rng(0)
 x0 = jnp.asarray(rng.integers(0, min(moduli), size=(rows, N_NTT),
                               dtype=np.uint64).astype(np.uint32))
 
-@jax.jit
-def ntt_chain(v):
-    return jax.lax.fori_loop(0, CHAIN_NTT, lambda i, u: ntt.fwd(u), v)
+def make_ntt_chain(c):
+    @jax.jit
+    def ntt_chain(v):
+        return jax.lax.fori_loop(0, c, lambda i, u: ntt.fwd(u), v)
+    return ntt_chain
 
-t_ntt = timed(ntt_chain, x0)
+t_fwd, fixed_ntt = timed_per_iter(make_ntt_chain, CHAIN_NTT, x0)
 butterflies_per_fwd = rows * (N_NTT // 2) * (N_NTT.bit_length() - 1)
-bfs = CHAIN_NTT * butterflies_per_fwd / t_ntt
+bfs = butterflies_per_fwd / t_fwd
 
 print(json.dumps({
     "backend": backend,
-    "ops_per_s": BATCH * CHAIN / t_mult,
-    "single_ct_ops_per_s": CHAIN / t_single,
-    "per_op_latency_ms": t_mult / CHAIN * 1e3 / BATCH,
+    "ops_per_s": BATCH / t_mult,
+    "single_ct_ops_per_s": 1.0 / t_single,
+    "per_op_latency_ms": t_mult * 1e3 / BATCH,
+    "fixed_dispatch_ms": fixed_mult * 1e3,
     "ntt_butterflies_per_s": bfs,
     "ntt_rows": rows,
-    "ntt_ms_per_fwd": t_ntt / CHAIN_NTT * 1e3,
+    "ntt_fixed_dispatch_ms": fixed_ntt * 1e3,
+    "ntt_ms_per_fwd": t_fwd * 1e3,
 }))
 """ % (N, N_NTT, REPEATS, BATCH, CHAIN, CHAIN_CPU, CHAIN_NTT, CHAIN_NTT_CPU)
 
