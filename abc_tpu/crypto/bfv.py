@@ -35,6 +35,7 @@ import numpy as np
 from abc_tpu.crypto.ntt import NttContext, bit_reverse
 from abc_tpu.crypto.numthy import centered, modinv
 from abc_tpu.crypto.params import BfvParams
+from abc_tpu.crypto.prng import derive_key, uniform_rns_np
 from abc_tpu.ops.modarith import barrett_mu
 from abc_tpu.utils.errors import RuntimeExecutionError
 
@@ -160,6 +161,24 @@ class BfvContext:
             dtype=np.uint64).reshape(L, 1)
         self._dec_t_over_q = (float(t) / np.asarray(qs, dtype=np.float64)
                               ).reshape(L, 1)
+        # device decrypt tables (u32 fixed-point exact scale-and-round):
+        # m = round(Σ_l y_l·θ_l) mod t with θ_l = t·q̂_l/q = t/q_l < 1
+        # (t is below every prime, so the integer CRT part vanishes);
+        # θ_l is carried as a 64-bit fixed-point pair (f_hi, f_lo), the
+        # fractional sum in an exact u32 accumulator with carries.
+        host["dec_qinv"] = self._dec_qhat_inv.astype(np.uint32)
+        host["dec_qinv_sh"] = np.asarray(
+            [(int(v) << 32) // qi for v, qi in zip(
+                self._dec_qhat_inv.reshape(-1), qs)],
+            dtype=np.uint64).astype(np.uint32).reshape(L, 1)
+        theta_fp = [((t << 64) // qi) for qi in qs]          # floor(θ·2^64)
+        host["dec_f_hi"] = np.asarray([f >> 32 for f in theta_fp],
+                                      dtype=np.uint64).astype(np.uint32
+                                                              ).reshape(L, 1)
+        host["dec_f_lo"] = np.asarray([f & 0xFFFFFFFF for f in theta_fp],
+                                      dtype=np.uint64).astype(np.uint32
+                                                              ).reshape(L, 1)
+        self._dec_mu_t = (1 << 32) // t
 
         if self._on_device:
             import jax.numpy as jnp
@@ -173,7 +192,21 @@ class BfvContext:
         self._slot_to_pos = self._build_slot_map(n)
 
         # --- keys ----------------------------------------------------------------
+        # Two randomness sources, both shared bit-for-bit by the np64 and
+        # jx32 engines:
+        #   * self.rng (numpy Generator) — SMALL host draws only (ternary
+        #     secrets, Gaussian errors); engines must consume it in the same
+        #     order.
+        #   * the counter PRNG (crypto/prng.py) — every UNIFORM polynomial
+        #     (the `a` of each RLWE sample), keyed by (seed, stream label):
+        #     draw-order independent, and generatable ON DEVICE inside the
+        #     jitted keygen/encrypt paths, so key-sized arrays never cross
+        #     the host↔device boundary (SEAL's seeded-key trick).
         self.rng = np.random.default_rng(params.seed)
+        self._prng_seed = params.seed if params.seed is not None else \
+            int(np.random.default_rng().integers(0, 2 ** 63))
+        self._enc_counter = 0
+        self._jit_cache: Dict = {}
         self._keygen()
         self.relin_key: Optional[Tuple] = None
         self.galois_keys: Dict[int, Tuple] = {}
@@ -199,8 +232,9 @@ class BfvContext:
     def _sample_ternary(self) -> np.ndarray:
         return self.rng.integers(-1, 2, size=self.params.n).astype(np.int64)
 
-    def _sample_error(self) -> np.ndarray:
-        e = np.rint(self.rng.normal(0.0, self.params.error_std, self.params.n))
+    def _sample_error(self, rng=None) -> np.ndarray:
+        rng = self.rng if rng is None else rng
+        e = np.rint(rng.normal(0.0, self.params.error_std, self.params.n))
         return np.clip(e, -19, 19).astype(np.int64)
 
     def _lift_signed(self, coeffs: np.ndarray, num_limbs: int) -> np.ndarray:
@@ -211,48 +245,138 @@ class BfvContext:
             out[j] = np.mod(coeffs, qj).astype(np.uint32)
         return out
 
-    def _uniform_rns(self, num_limbs: int) -> np.ndarray:
+    def _uniform_rns(self, num_limbs: int, stream: str) -> np.ndarray:
         """Uniform element of Z_q in RNS (independent uniform residues are
-        uniform over Z_q by the CRT bijection)."""
-        cols = []
-        for qj in self.params.coeff_modulus[:num_limbs]:
-            cols.append(self.rng.integers(0, qj, size=self.params.n,
-                                          dtype=np.uint64).astype(np.uint32))
-        return np.stack(cols)
+        uniform over Z_q by the CRT bijection), drawn from the counter PRNG
+        at (context seed, stream) — host path; the device paths regenerate
+        the identical array in-jit (crypto/prng.py)."""
+        return uniform_rns_np(self._prng_seed, stream,
+                              self.params.coeff_modulus[:num_limbs],
+                              self.params.n)
 
     # ------------------------------------------------------------------ keygen
     def _keygen(self) -> None:
         L, full = self.params.L, self.full
         self.s_coeffs = self._sample_ternary()
+        e_pk = self._sample_error()
         self.s_ntt_full = self.hqp.fwd(self._lift_signed(self.s_coeffs, full))
-        # public key over the data base q, NTT domain: (b = -(a·s+e), a)
-        a_ntt = self._uniform_rns(L)           # uniform is uniform in NTT domain
-        e_ntt = self.hq.fwd(self._lift_signed(self._sample_error(), L))
+        # public key over the data base q, NTT domain: (b = -(a·s+e), a).
+        # The uniform `a` comes from the counter PRNG at stream "pk", so the
+        # jx32 device keygen below regenerates the identical key in-jit.
+        a_ntt = self._uniform_rns(L, "pk")     # uniform is uniform in NTT domain
+        e_ntt = self.hq.fwd(self._lift_signed(e_pk, L))
         as_ntt = self.hq.pointwise_mul(a_ntt, self.s_ntt_full[:L])
         self.pk_b_ntt = self.hq.sub(self.hq.neg(as_ntt), e_ntt)
         self.pk_a_ntt = a_ntt
+        if self._on_device:
+            self._keygen_device(e_pk)
 
-    def _make_ksk(self, s2_ntt_full: np.ndarray) -> Tuple:
+    # ------------------------------------------------- device (jx32) key paths
+    #
+    # On the jx32 engine every key-sized array is COMPUTED on the device
+    # inside jitted builders: the uniform components are regenerated from
+    # their (seed, stream) counters, only the n-sized host samples (secret,
+    # errors) and n-sized results cross the host↔device boundary. On the
+    # axon-tunneled TPU of this rig (≈20 MB/s) that turns ~23 MB/key
+    # transfers (the round-2 bench lost ~10 s to them, BENCH_r02 config6
+    # t_input_encryption) into ~0.1 MB. Everything stays bit-identical to
+    # the np64 host path (tests/test_prng.py, test_bfv.py).
+
+    def _jit(self, name: str, fn):
+        if name not in self._jit_cache:
+            import jax
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    def _lift_signed_dev(self, v_i32, num_limbs: int):
+        """[..., n] int32 signed coeffs → [..., L', n] uint32 residues
+        (device). Two's-complement wrap makes q + v ≡ q − |v| (mod 2^32)."""
+        import jax.numpy as jnp
+        q = self._tab["q_full"][:num_limbs]               # [L', 1]
+        v_u = v_i32.astype(jnp.uint32)[..., None, :]
+        neg = (v_i32 < 0)[..., None, :]
+        return jnp.where(neg, q + v_u, v_u)
+
+    def _keygen_device(self, e_pk: np.ndarray) -> None:
+        """Device copies of (s_ntt_full, pk) — host np64 keygen is ~3 ms, so
+        these are plain batched transfers (~2.6 MB at n=16384), not a jitted
+        device computation (a fresh keygen executable would cost a per-
+        process XLA compile, which dwarfs the transfer on this rig)."""
+        import jax
+        self._dev_s_ntt_full, self._dev_pk_b, self._dev_pk_a = \
+            jax.device_put((self.s_ntt_full, self.pk_b_ntt, self.pk_a_ntt))
+
+    def _make_ksk(self, s2_ntt_full: np.ndarray, stream: str) -> Tuple:
         """Key-switching key toward target secret s2 (NTT domain over q∪P):
-        (ksk_b, ksk_a), each [α, L+k, n], on the evaluation device."""
+        (ksk_b, ksk_a), each [α, L+k, n]. `stream` labels the uniform
+        components ("relin", "galois_<g>") so both engines regenerate the
+        same key material from (seed, stream) alone.
+
+        np64 contexts return HOST numpy arrays (trace-safe constants);
+        jx32 contexts build the whole key ON DEVICE (one jitted call,
+        compiled once and shared by relin + every Galois key) and return
+        device arrays — created eagerly, fed to executables as jit
+        ARGUMENTS by the runtime (jit_executor key plumbing), so the
+        jax-0.9 in-trace-constant hazard the old host-only note guarded
+        against does not arise (key CACHING is additionally gated on
+        trace_state_clean in the getters — a build that happens inside a
+        trace, e.g. during the jit executor's key-recording eval_shape
+        pass, yields tracers that must be discarded, and because BOTH the
+        uniform and error components are stream-keyed the later out-of-trace
+        rebuild produces the identical key)."""
+        alpha = self.params.num_ks_digits
+        from abc_tpu.crypto.prng import seeded_rng
+        rng_e = seeded_rng(self._prng_seed, f"{stream}/e")
+        errors = np.stack([self._sample_error(rng_e) for _ in range(alpha)])
+        if self._on_device:
+            return self._make_ksk_device(s2_ntt_full, stream, errors)
         h = self.hqp
         full, n = self.full, self.params.n
-        alpha = self.params.num_ks_digits
         ksk_b = np.empty((alpha, full, n), dtype=np.uint32)
         ksk_a = np.empty((alpha, full, n), dtype=np.uint32)
         factors = self._host["ks_factors"]
         for i in range(alpha):
-            a_i = self._uniform_rns(full)
-            e_i = h.fwd(self._lift_signed(self._sample_error(), full))
+            a_i = self._uniform_rns(full, f"{stream}/d{i}")
+            e_i = h.fwd(self._lift_signed(errors[i], full))
             term = h.engine.mul(s2_ntt_full, factors[i], h.q, h.mu)
             b_i = h.add(h.sub(h.neg(h.pointwise_mul(a_i, self.s_ntt_full)), e_i),
                         term)
             ksk_b[i], ksk_a[i] = b_i, a_i
-        # NOTE: returned as HOST numpy arrays. Keys may be generated lazily
-        # inside a jit trace; jax 0.9 turns device constants created during
-        # tracing into tracers, so caching converted arrays would leak.
-        # numpy constants are always trace-safe.
         return ksk_b, ksk_a
+
+    def _make_ksk_device(self, s2_ntt_full, stream: str,
+                         errors: np.ndarray) -> Tuple:
+        """Jitted device construction of one switching key; the per-digit
+        uniform a_j are regenerated in-jit from their stream keys (traced
+        scalars — ONE compile serves every key of this context)."""
+        import jax.numpy as jnp
+        full, n = self.full, self.params.n
+        alpha = self.params.num_ks_digits
+        moduli = self.params.coeff_modulus
+
+        def build(k0s, k1s, e_i32, s2_ntt, s_ntt, factors):
+            from abc_tpu.crypto.prng import uniform_rns_jx_keys
+            e = self.engine
+            q = self._tab["q_full"].reshape(1, full, 1)
+            mu = self._tab["mu_full"].reshape(1, full, 1)
+            a = uniform_rns_jx_keys(k0s, k1s, moduli, n)      # [α, full, n]
+            e_ntt = self.ntt_qp.fwd_xla(self._lift_signed_dev(e_i32, full))
+            term = e.mul(s2_ntt[None], factors, q, mu)
+            b = e.add(e.sub(e.neg(e.mul(a, s_ntt[None], q, mu), q),
+                            e_ntt, q), term, q)
+            return b, a
+
+        keys = [derive_key(self._prng_seed, f"{stream}/d{i}")
+                for i in range(alpha)]
+        k0s = jnp.asarray([k[0] for k in keys], dtype=jnp.uint32)
+        k1s = jnp.asarray([k[1] for k in keys], dtype=jnp.uint32)
+        if not isinstance(s2_ntt_full, np.ndarray):
+            s2_dev = s2_ntt_full
+        else:
+            s2_dev = jnp.asarray(s2_ntt_full)
+        return self._jit("ksk", build)(
+            k0s, k1s, jnp.asarray(errors.astype(np.int32)), s2_dev,
+            self._dev_s_ntt_full, self._tab["ks_factors"])
 
     # Key plumbing for whole-program jit (runtime/jit_executor.py): a
     # recording pass collects WHICH keys a program uses; an override dict
@@ -277,30 +401,70 @@ class BfvContext:
         assert key_id.startswith("galois_"), key_id
         return self.get_galois_key(int(key_id[len("galois_"):]))
 
+    def _fake_ksk(self) -> Tuple:
+        """Shape-correct zero key returned while the jit executor's
+        key-RECORDING pass is active: the recording eval_shape only needs
+        key ids + shapes to flow, and really building keys inside that
+        throwaway trace costs seconds of tracing per key (the real build
+        happens once, out-of-trace, in materialize_key)."""
+        if not hasattr(self, "_fake_ksk_arr"):
+            z = np.zeros((self.params.num_ks_digits, self.full,
+                          self.params.n), dtype=np.uint32)
+            self._fake_ksk_arr = (z, z)
+        return self._fake_ksk_arr
+
     def get_relin_key(self) -> Tuple:
         req = getattr(self, "_key_requests", None)
         if req is not None:
             req.add("relin")
+            return self._fake_ksk()
         ov = getattr(self, "_key_overrides", None)
         if ov and "relin" in ov:
             return ov["relin"]
         if self.relin_key is None:
-            s2 = self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
-            self.relin_key = self._make_ksk(s2)
+            if self._on_device:
+                s = self._dev_s_ntt_full
+                s2 = self._jit("s_square", lambda x: self.engine.mul(
+                    x, x, self._tab["q_full"], self._tab["mu_full"]))(s)
+            else:
+                s2 = self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
+            key = self._make_ksk(s2, "relin")
+            from abc_tpu.utils.tracing import trace_state_clean
+            if not trace_state_clean():
+                return key     # in-trace build: tracers, must not be cached
+            self.relin_key = key
         return self.relin_key
 
     def get_galois_key(self, galois_elt: int) -> Tuple:
         req = getattr(self, "_key_requests", None)
         if req is not None:
             req.add(f"galois_{galois_elt}")
+            return self._fake_ksk()
         ov = getattr(self, "_key_overrides", None)
         if ov and f"galois_{galois_elt}" in ov:
             return ov[f"galois_{galois_elt}"]
         if galois_elt not in self.galois_keys:
             gather, sign = self._galois_perm_host(galois_elt)
-            s_lift = self._lift_signed(self.s_coeffs, self.full)
-            s_tau = self._apply_automorphism_host(s_lift, gather, sign)
-            self.galois_keys[galois_elt] = self._make_ksk(self.hqp.fwd(s_tau))
+            if self._on_device:
+                # τ(s) in the SIGNED domain (τ flips signs of ternary
+                # coeffs — same values the host lift produces), then
+                # lift + NTT on device
+                import jax.numpy as jnp
+                tau = np.where(sign, self.s_coeffs[gather],
+                               -self.s_coeffs[gather]).astype(np.int32)
+                s_tau_ntt = self._jit("lift_ntt_full", lambda v:
+                                      self.ntt_qp.fwd_xla(
+                                          self._lift_signed_dev(
+                                              v, self.full)))(jnp.asarray(tau))
+            else:
+                s_lift = self._lift_signed(self.s_coeffs, self.full)
+                s_tau_ntt = self.hqp.fwd(
+                    self._apply_automorphism_host(s_lift, gather, sign))
+            key = self._make_ksk(s_tau_ntt, f"galois_{galois_elt}")
+            from abc_tpu.utils.tracing import trace_state_clean
+            if not trace_state_clean():
+                return key     # in-trace build: tracers, must not be cached
+            self.galois_keys[galois_elt] = key
         return self.galois_keys[galois_elt]
 
     # ----------------------------------------------------------------- encoding
@@ -338,24 +502,71 @@ class BfvContext:
     def decode(self, pt: Plaintext, signed: bool = True) -> List[int]:
         n, t = self.params.n, self.params.plain_modulus
         slots_eval = self.ntt_t.fwd(pt.coeffs.reshape(1, n))[0]
-        out = slots_eval[self._slot_to_pos]
-        if signed:
-            return [centered(int(v), t) for v in out]
-        return [int(v) for v in out]
+        out = slots_eval[self._slot_to_pos].astype(np.int64)
+        if signed:   # vectorized centered(): a Python loop costs ~10 ms at
+            out = np.where(out > t // 2, out - t, out)   # n=16384
+        return out.tolist()
 
     # ----------------------------------------------------------------- encrypt
     def encrypt(self, pt: Plaintext) -> BfvCiphertext:
+        return self.encrypt_many([pt])[0]
+
+    def encrypt_many(self, pts: Sequence[Plaintext]) -> List[BfvCiphertext]:
+        """Encrypt a batch. Host path loops; the jx32 path runs ONE jitted
+        device call over the whole [B, ...] batch (encryption is
+        embarrassingly parallel: a batched NTT + pointwise), with only the
+        n-sized secret samples crossing to the device — the round-2 bench
+        lost 28× to the reference on t_input_encryption by doing per-ct
+        host NTTs + full-ciphertext transfers."""
+        if not pts:
+            return []
+        samples = []
+        for _ in pts:   # rng draw order per ct: u, e0, e1 (both engines)
+            samples.append((self._sample_ternary(), self._sample_error(),
+                            self._sample_error()))
+        if self._on_device:
+            return self._encrypt_many_device(pts, samples)
+        return [self._encrypt_host(pt, *s) for pt, s in zip(pts, samples)]
+
+    def _encrypt_host(self, pt: Plaintext, u, e0s, e1s) -> BfvCiphertext:
         h = self.hq
         L = self.params.L
-        u_ntt = h.fwd(self._lift_signed(self._sample_ternary(), L))
-        e0 = self._lift_signed(self._sample_error(), L)
-        e1 = self._lift_signed(self._sample_error(), L)
+        u_ntt = h.fwd(self._lift_signed(u, L))
+        e0 = self._lift_signed(e0s, L)
+        e1 = self._lift_signed(e1s, L)
         c0 = h.engine.add(h.inv(h.pointwise_mul(self.pk_b_ntt, u_ntt)), e0, h.q)
         c1 = h.engine.add(h.inv(h.pointwise_mul(self.pk_a_ntt, u_ntt)), e1, h.q)
         dm = h.engine.mul(self._lift_plain_host(pt),
                           self._host["delta_mod_q"], h.q, h.mu)
         c0 = h.engine.add(c0, dm, h.q)
-        return BfvCiphertext(self._dev(np.stack([c0, c1])))
+        return BfvCiphertext(np.stack([c0, c1]))
+
+    def _encrypt_many_device(self, pts, samples) -> List[BfvCiphertext]:
+        import jax.numpy as jnp
+        L = self.params.L
+
+        def enc(m_u32, u_i32, e0_i32, e1_i32, pk_b, pk_a):
+            e = self.engine
+            q, mu = self.q_q, self.mu_q
+            u_ntt = self.ntt_q.fwd_xla(self._lift_signed_dev(u_i32, L))
+            pre = jnp.stack([e.mul(pk_b[None], u_ntt, q, mu),
+                             e.mul(pk_a[None], u_ntt, q, mu)],
+                            axis=1)                          # [B, 2, L, n]
+            ci = self.ntt_q.inv_xla(pre)
+            dm = e.mul(m_u32[:, None, :], self._tab["delta_mod_q"], q, mu)
+            c0 = e.add(e.add(ci[:, 0], self._lift_signed_dev(e0_i32, L), q),
+                       dm, q)
+            c1 = e.add(ci[:, 1], self._lift_signed_dev(e1_i32, L), q)
+            return jnp.stack([c0, c1], axis=1)
+
+        m = np.stack([pt.coeffs for pt in pts]).astype(np.uint32)
+        u = np.stack([s[0] for s in samples]).astype(np.int32)
+        e0 = np.stack([s[1] for s in samples]).astype(np.int32)
+        e1 = np.stack([s[2] for s in samples]).astype(np.int32)
+        out = self._jit(f"enc_b{len(pts)}", enc)(
+            jnp.asarray(m), jnp.asarray(u), jnp.asarray(e0),
+            jnp.asarray(e1), self._dev_pk_b, self._dev_pk_a)
+        return [BfvCiphertext(out[i]) for i in range(len(pts))]
 
     def _lift_plain_host(self, pt: Plaintext) -> np.ndarray:
         # plaintext coefficients are < t < every q_j: no reduction needed
@@ -377,7 +588,11 @@ class BfvContext:
     def decrypt(self, ct: BfvCiphertext) -> Plaintext:
         """Fast vectorized CRT scale-and-round (see table notes in __init__);
         exact-bigint fallback when a coefficient sits at the rounding
-        boundary (noise at capacity)."""
+        boundary (noise at capacity). jx32 contexts run the dot product AND
+        the scale-and-round on device (one jitted call) so only the [n]
+        plaintext coefficients cross the device boundary."""
+        if self._on_device:
+            return self._decrypt_device(ct)
         v = self._dot_secret(ct)
         L = self.params.L
         t = self.params.plain_modulus
@@ -390,6 +605,63 @@ class BfvContext:
             coeffs = (r.astype(np.int64) % t).astype(np.uint32)
             return Plaintext(coeffs)
         return self._decrypt_exact(v)[0]
+
+    def _decrypt_device(self, ct: BfvCiphertext) -> Plaintext:
+        import jax.numpy as jnp
+        L = self.params.L
+        t = self.params.plain_modulus
+        mu_t = self._dec_mu_t
+
+        def reduce_t(v):            # v < 2^31 → v mod t (t < 2^21)
+            z = self.engine.umulhi(v, jnp.uint32(mu_t))
+            r = v - z * jnp.uint32(t)
+            for _ in range(3):
+                r = jnp.where(r >= t, r - jnp.uint32(t), r)
+            return r
+
+        def dec(data):
+            e = self.engine
+            q, mu = self.q_q, self.mu_q
+            c_ntt = self.ntt_q.fwd_xla(data)              # [size, L, n]
+            s = self._dev_s_ntt_full[:L]
+            acc = e.add(c_ntt[0], e.mul(c_ntt[1], s, q, mu), q)
+            if data.shape[0] == 3:                        # lazy-relin size 3
+                s2 = e.mul(s, s, q, mu)
+                acc = e.add(acc, e.mul(c_ntt[2], s2, q, mu), q)
+            v = self.ntt_q.inv_xla(acc)                   # [L, n] coeff dom
+            y = e.mul_shoup(v, self._tab["dec_qinv"],
+                            self._tab["dec_qinv_sh"], q)
+            F = jnp.zeros(v.shape[-1], jnp.uint32)        # fractional 2^-32
+            msum = jnp.zeros(v.shape[-1], jnp.uint32)     # integer, mod t
+            for l in range(L):
+                yl = y[l]
+                f_hi = self._tab["dec_f_hi"][l, 0]
+                f_lo = self._tab["dec_f_lo"][l, 0]
+                lo1 = yl * f_hi                           # frac contribution
+                hi1 = e.umulhi(yl, f_hi)                  # integer part
+                hi2 = e.umulhi(yl, f_lo)                  # frac (2^-32 units)
+                F1 = F + lo1
+                c1 = (F1 < lo1).astype(jnp.uint32)
+                F = F1 + hi2
+                c2 = (F < hi2).astype(jnp.uint32)
+                msum = reduce_t(msum + reduce_t(hi1 + c1 + c2))
+            half = jnp.uint32(1 << 31)
+            m = reduce_t(msum + (F >= half).astype(jnp.uint32))
+            dist = jnp.where(F >= half, F - half, half - F)
+            at_boundary = jnp.any(dist < jnp.uint32(4096))
+            return m, at_boundary, v
+
+        import jax
+        data = ct.data if not isinstance(ct.data, np.ndarray) \
+            else jnp.asarray(ct.data)
+        m, flag, v = self._jit("decrypt", dec)(data)
+        # ONE host pull for (m, flag) — separate np.asarray calls each pay
+        # a full device round trip on the tunneled TPU; v stays on device
+        # unless the boundary flag forces the exact fallback
+        m_host, flag_host = jax.device_get((m, flag))
+        if bool(flag_host):           # noise at capacity: exact bigints
+            return self._decrypt_exact(np.asarray(v))[0]
+        return Plaintext(m_host)
 
     def _dot_secret(self, ct: BfvCiphertext) -> np.ndarray:
         """v = Σ_k c_k·s^k mod q, [L, n] coefficient-domain residues

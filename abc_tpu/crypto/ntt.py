@@ -120,6 +120,15 @@ class NttContext:
             # jit the transforms: one compile per input shape, then fast
             self.fwd = jax.jit(self.fwd)
             self.inv = jax.jit(self.inv)
+            # keep the pure-XLA stage-loop transforms accessible even after
+            # the Pallas kernels are attached: the host-boundary builders
+            # (keygen / switching keys / encrypt / decrypt) use these so
+            # they never pay a Mosaic compile — on the axon-tunneled TPU a
+            # fresh Pallas compile measured 40-700 s and the persistent
+            # compilation cache does not serialize across processes there.
+            # Bit-identical to the Pallas path (tests/test_pallas_ntt.py).
+            self.fwd_xla = self.fwd
+            self.inv_xla = self.inv
             self._attach_pallas()
             self.negacyclic_mul = jax.jit(self.negacyclic_mul)
         elif engine == "np64":
@@ -201,6 +210,8 @@ class NttContext:
             import jax
             view.fwd = jax.jit(NttContext.fwd.__get__(view))
             view.inv = jax.jit(NttContext.inv.__get__(view))
+            view.fwd_xla = view.fwd
+            view.inv_xla = view.inv
             if hasattr(self, "_pallas"):
                 # share the parent's device twiddle tables (row slices) —
                 # no host Montgomery recomputation per subset

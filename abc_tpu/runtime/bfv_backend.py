@@ -141,14 +141,23 @@ class BfvCiphertextFactory(AbstractCiphertextFactory):
 
     def create_ciphertext(self, value: Union[Cleartext, Sequence[int], int]
                           ) -> TpuBfvCiphertext:
-        if isinstance(value, Cleartext):
-            vals = [int(v) for v in value.values]
-        elif isinstance(value, (int,)):
-            vals = [int(value)]
-        else:
-            vals = [int(v) for v in value]
-        pt = self.context.encode(self.expand_vector(vals))
-        return TpuBfvCiphertext(self.context.encrypt(pt), self)
+        return self.create_many([value])[0]
+
+    def create_many(self, values: Sequence) -> List[TpuBfvCiphertext]:
+        """Encrypt a batch of inputs in one device call (BfvContext
+        .encrypt_many) — used by the whole-program JIT to encrypt all
+        secret inputs together."""
+        pts = []
+        for value in values:
+            if isinstance(value, Cleartext):
+                vals = [int(v) for v in value.values]
+            elif isinstance(value, (int,)):
+                vals = [int(value)]
+            else:
+                vals = [int(v) for v in value]
+            pts.append(self.context.encode(self.expand_vector(vals)))
+        return [TpuBfvCiphertext(ct, self)
+                for ct in self.context.encrypt_many(pts)]
 
     def decrypt(self, ciphertext: AbstractCiphertext) -> List[int]:
         if not isinstance(ciphertext, TpuBfvCiphertext):

@@ -31,13 +31,13 @@ class DummyCiphertext(AbstractCiphertext):
 
     # --- ctxt ⊕ ctxt ----------------------------------------------------------
     def add(self, other):
-        return DummyCiphertext(self.data + other.data, self.factory)
+        return type(self)(self.data + other.data, self.factory)
 
     def subtract(self, other):
-        return DummyCiphertext(self.data - other.data, self.factory)
+        return type(self)(self.data - other.data, self.factory)
 
     def multiply(self, other):
-        return DummyCiphertext(self.data * other.data, self.factory)
+        return type(self)(self.data * other.data, self.factory)
 
     # --- ctxt ⊕ plain ----------------------------------------------------------
     def _plain(self, cleartext: Cleartext) -> np.ndarray:
@@ -45,16 +45,16 @@ class DummyCiphertext(AbstractCiphertext):
         return np.asarray(vals, dtype=np.int64)
 
     def add_plain(self, other):
-        return DummyCiphertext(self.data + self._plain(other), self.factory)
+        return type(self)(self.data + self._plain(other), self.factory)
 
     def subtract_plain(self, other):
-        return DummyCiphertext(self.data - self._plain(other), self.factory)
+        return type(self)(self.data - self._plain(other), self.factory)
 
     def subtract_from_plain(self, other):
-        return DummyCiphertext(self._plain(other) - self.data, self.factory)
+        return type(self)(self._plain(other) - self.data, self.factory)
 
     def multiply_plain(self, other):
-        return DummyCiphertext(self.data * self._plain(other), self.factory)
+        return type(self)(self.data * self._plain(other), self.factory)
 
     # --- rotation --------------------------------------------------------------
     def rotate_rows(self, steps: int) -> "DummyCiphertext":
@@ -65,15 +65,17 @@ class DummyCiphertext(AbstractCiphertext):
         half = self.data.shape[0] // 2
         rows = self.data.reshape(2, half)
         rotated = np.roll(rows, -steps, axis=1)
-        return DummyCiphertext(rotated.reshape(-1), self.factory)
+        return type(self)(rotated.reshape(-1), self.factory)
 
     def clone(self) -> "DummyCiphertext":
-        return DummyCiphertext(self.data.copy(), self.factory)
+        return type(self)(self.data.copy(), self.factory)
 
 
 class DummyCiphertextFactory(AbstractCiphertextFactory):
     """ref: DummyCiphertextFactory.h; slot count configurable (default 8192
     like a small BFV parameter set)."""
+
+    handle_cls = DummyCiphertext   # subclass hook (e.g. key-census shim)
 
     def __init__(self, slots: int = 8192):
         if slots % 2 != 0:
@@ -93,7 +95,7 @@ class DummyCiphertextFactory(AbstractCiphertextFactory):
         else:
             vals = [int(v) for v in value]
         data = np.asarray(self.expand_vector(vals), dtype=np.int64)
-        return DummyCiphertext(data, self)
+        return self.handle_cls(data, self)
 
     def decrypt(self, ciphertext: AbstractCiphertext) -> List[int]:
         if not isinstance(ciphertext, DummyCiphertext):

@@ -57,10 +57,12 @@ class JittedProgram:
         self.output_ast = output_ast
 
         # host-side input preparation: evaluate declarations, encrypt secrets
+        # (batched: one device call encrypts every secret input)
         self.secret_inputs: Dict[str, object] = {}
         self._input_meta: Dict[str, object] = {}
         self._plain_entries = []
         self._secret_types = {}
+        secret_decls = []
         for decl in input_ast.children():
             if not isinstance(decl, VariableDeclaration) or decl.value is None:
                 raise RuntimeExecutionError(
@@ -68,16 +70,23 @@ class JittedProgram:
             cleartext = _static_cleartext(decl)
             name = decl.target.identifier
             if decl.datatype.secret:
-                handle = factory.create_ciphertext(cleartext)
+                secret_decls.append((name, decl.datatype, cleartext))
+            else:
+                self._plain_entries.append((name, decl.datatype, cleartext))
+        if secret_decls:
+            if hasattr(factory, "create_many"):
+                handles = factory.create_many([c for _, _, c in secret_decls])
+            else:
+                handles = [factory.create_ciphertext(c)
+                           for _, _, c in secret_decls]
+            for (name, dt, _), handle in zip(secret_decls, handles):
                 arr, meta = factory.jit_pack(handle)
                 if not hasattr(arr, "devices"):     # host array → device once
                     import jax as _jax
                     arr = _jax.device_put(np.asarray(arr))
                 self.secret_inputs[name] = arr
                 self._input_meta[name] = meta
-                self._secret_types[name] = decl.datatype
-            else:
-                self._plain_entries.append((name, decl.datatype, cleartext))
+                self._secret_types[name] = dt
 
         tainted = compiled.secret_tainted
         self._out_meta: Dict[str, object] = {}
@@ -116,17 +125,30 @@ class JittedProgram:
         self._key_args: Dict[str, tuple] = {}
         self._keyed = ctx is not None and hasattr(ctx, "record_key_requests")
         if self._keyed:
-            requests = set()
-            ctx.record_key_requests(requests)
-            try:
-                jax.eval_shape(fn, self.secret_inputs)
-            finally:
-                ctx.record_key_requests(None)
+            # Key discovery, cheap path: run the program on the DUMMY
+            # backend (milliseconds) and record which rotations / ct·ct
+            # multiplies it performs — control flow is cleartext-driven, so
+            # the dummy run takes exactly the branches the encrypted run
+            # will. Falls back to the abstract eval_shape recording pass
+            # (which costs ~13 s of tracing for reference-scale programs)
+            # if the census cannot run.
+            requests = self._census_key_ids(compiled, input_ast, output_ast)
+            if requests is None:
+                requests = set()
+                ctx.record_key_requests(requests)
+                try:
+                    jax.eval_shape(fn, self.secret_inputs)
+                finally:
+                    ctx.record_key_requests(None)
             # device_put ONCE: keys as host numpy would re-transfer
             # ~23 MB/key (n=16384) on EVERY call — over a remote-TPU
-            # tunnel that dominates the whole step time
+            # tunnel that dominates the whole step time. Keys that are
+            # ALREADY device arrays (jx32 contexts build them on device)
+            # pass through untouched — np.asarray on them would round-trip
+            # the whole key through the host.
             self._key_args = {
-                k: tuple(jax.device_put(np.asarray(x))
+                k: tuple(x if hasattr(x, "devices")
+                         else jax.device_put(np.asarray(x))
                          for x in ctx.materialize_key(k))
                 for k in sorted(requests)}
 
@@ -140,6 +162,62 @@ class JittedProgram:
             self._jitted = jax.jit(fn_keyed)
         else:
             self._jitted = jax.jit(fn)
+
+    def _census_key_ids(self, compiled, input_ast, output_ast):
+        """Which switching keys will the encrypted run request? Answered by
+        executing the compiled circuit on a recording dummy backend:
+        rotate_rows(steps) maps to galois element 3^(steps mod n/2) mod 2n
+        (BfvContext.rotate_rows), any ct·ct multiply implies the relin key
+        (lazy relinearization can only ever key-switch toward s²). Returns
+        None if the census cannot run (caller falls back to eval_shape).
+
+        Over-approximation (e.g. a multiply whose relin never fires) only
+        costs one unused key build; an under-approximation would be built
+        in-trace by the real jit pass — correct, just slower."""
+        from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+        from abc_tpu.runtime.dummy import DummyCiphertext, \
+            DummyCiphertextFactory
+
+        if not isinstance(self.factory, BfvCiphertextFactory):
+            return None   # step→galois-element map below is BFV-specific
+        n2 = self.factory.slot_count          # n = slot_count for BFV
+        census = {"rot": set(), "mult": False}
+
+        class _Ct(DummyCiphertext):
+            def multiply(self, other):
+                census["mult"] = True
+                return super().multiply(other)
+
+            def rotate_rows(self, steps: int):
+                census["rot"].add(int(steps))
+                return super().rotate_rows(steps)
+
+        class _Factory(DummyCiphertextFactory):
+            handle_cls = _Ct
+
+        try:
+            shadow = _Factory(slots=n2)
+            rv = RuntimeVisitor(shadow, Block([]), compiled.secret_tainted)
+            for name, dt, ctext in self._plain_entries:
+                rv.globals.declare(name, dt, ctext)
+            for decl in input_ast.children():
+                if decl.datatype.secret:
+                    ct = shadow.create_ciphertext(_static_cleartext(decl))
+                    rv.globals.declare(decl.target.identifier, decl.datatype,
+                                       ct)
+            rv.execute_ast(compiled.ast)
+            rv.get_output(output_ast)
+        except Exception:
+            return None
+        requests = set()
+        half = n2 // 2
+        for steps in census["rot"]:
+            s = steps % half
+            if s:
+                requests.add(f"galois_{pow(3, s, 2 * n2)}")
+        if census["mult"]:
+            requests.add("relin")
+        return requests
 
     def run_raw(self, secret_arrays: Dict[str, object]) -> Dict[str, object]:
         if self._keyed:

@@ -295,7 +295,7 @@ def test_hybrid_ks_decompose_row_count():
     """The decomposition NTT batch shrinks: [α, L+k, n] not [L, L+1, n]."""
     ctx = BfvContext(BfvParams.create(1024, seed=3, ks_digits=2))
     L = ctx.params.L
-    d = ctx._uniform_rns(L)
+    d = ctx._uniform_rns(L, "test")
     D = ctx._decompose_ntt(d)
     assert D.shape == (ctx.params.num_ks_digits, L + 2, 1024)
     assert ctx.params.num_ks_digits * (L + 2) < L * (L + 1)
