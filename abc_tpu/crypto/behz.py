@@ -55,6 +55,12 @@ class BehzContext:
 
         self.ntt_q = ntt_q or NttContext(n, qs, engine=params.engine)
         self.ntt_bsk = NttContext(n, self.bsk, engine=params.engine)
+        if params.engine == "jx32":
+            # attach the Pallas hot path now (construction happens eagerly
+            # via BfvContext.ensure_eval_ready; a first-use attach inside a
+            # multiply trace would fall back to the XLA stage loop)
+            self.ntt_q.warm()
+            self.ntt_bsk.warm()
 
         host = {}
         as_col = lambda v: np.asarray(v, dtype=np.uint32).reshape(-1, 1)

@@ -181,9 +181,10 @@ class BfvContext:
         self._dec_mu_t = (1 << 32) // t
 
         if self._on_device:
+            import jax
             import jax.numpy as jnp
             self._dev = jnp.asarray
-            self._tab = {k: jnp.asarray(v) for k, v in host.items()}
+            self._tab = jax.device_put(host)   # ONE batched transfer
         else:
             self._dev = lambda x: x
             self._tab = host
@@ -211,13 +212,35 @@ class BfvContext:
         self.relin_key: Optional[Tuple] = None
         self.galois_keys: Dict[int, Tuple] = {}
         self._perm_cache: Dict[int, Tuple] = {}
-        # BEHZ multiply context: built EAGERLY for jx32 (its device tables
-        # must not be created inside a jit trace — see _make_ksk note),
-        # lazily for np64
+        # BEHZ multiply context: deferred out of the keygen phase; built by
+        # ensure_eval_ready (pre-trace) or lazily at first multiply
         self._behz = None
-        if self._on_device:
+
+    def _get_behz(self):
+        """The BEHZ multiply context, cached only when no trace is active
+        (a context built in-trace carries tracer tables that must not
+        outlive the trace)."""
+        if self._behz is None:
             from abc_tpu.crypto.behz import BehzContext
-            self._behz = BehzContext(params, ntt_q=self.ntt_q)
+            from abc_tpu.utils.tracing import trace_state_clean
+            bz = BehzContext(self.params, ntt_q=self.ntt_q)
+            if not trace_state_clean():
+                return bz
+            self._behz = bz
+        return self._behz
+
+    def ensure_eval_ready(self) -> None:
+        """Eagerly build everything the HOT evaluation path needs — the
+        BEHZ multiply context and the Pallas NTT kernels — OUTSIDE any jit
+        trace (in-trace construction would bake their device tables as
+        trace-local tracers, and the table builds cost ~2 s that must not
+        land inside a timed phase). The jit executor calls this before
+        tracing; eager interpreter paths hit the same lazy builds on first
+        use (which is trace-clean there)."""
+        self._get_behz()
+        if self._on_device:
+            self.ntt_q.warm()
+            self.ntt_qp.warm()
 
     # convenient table views ----------------------------------------------------
     @property
@@ -306,32 +329,36 @@ class BfvContext:
         self._dev_s_ntt_full, self._dev_pk_b, self._dev_pk_a = \
             jax.device_put((self.s_ntt_full, self.pk_b_ntt, self.pk_a_ntt))
 
-    def _make_ksk(self, s2_ntt_full: np.ndarray, stream: str) -> Tuple:
-        """Key-switching key toward target secret s2 (NTT domain over q∪P):
-        (ksk_b, ksk_a), each [α, L+k, n]. `stream` labels the uniform
-        components ("relin", "galois_<g>") so both engines regenerate the
-        same key material from (seed, stream) alone.
-
-        np64 contexts return HOST numpy arrays (trace-safe constants);
-        jx32 contexts build the whole key ON DEVICE (one jitted call,
-        compiled once and shared by relin + every Galois key) and return
-        device arrays — created eagerly, fed to executables as jit
-        ARGUMENTS by the runtime (jit_executor key plumbing), so the
-        jax-0.9 in-trace-constant hazard the old host-only note guarded
-        against does not arise (key CACHING is additionally gated on
-        trace_state_clean in the getters — a build that happens inside a
-        trace, e.g. during the jit executor's key-recording eval_shape
-        pass, yields tracers that must be discarded, and because BOTH the
-        uniform and error components are stream-keyed the later out-of-trace
-        rebuild produces the identical key)."""
-        alpha = self.params.num_ks_digits
+    def _ksk_errors(self, stream: str) -> np.ndarray:
+        """[α, n] int64 Gaussian errors for one switching key, drawn from a
+        generator keyed by (seed, stream) — order-independent, so both
+        engines (and repeated builds) produce the identical key."""
         from abc_tpu.crypto.prng import seeded_rng
         rng_e = seeded_rng(self._prng_seed, f"{stream}/e")
-        errors = np.stack([self._sample_error(rng_e) for _ in range(alpha)])
-        if self._on_device:
-            return self._make_ksk_device(s2_ntt_full, stream, errors)
+        return np.stack([self._sample_error(rng_e)
+                         for _ in range(self.params.num_ks_digits)])
+
+    def _ksk_target_host(self, key_id: str) -> np.ndarray:
+        """Host NTT-domain target secret for a key id: s² for "relin",
+        τ_g(s) for "galois_<g>" (host np64 native NTT — milliseconds)."""
+        if key_id == "relin":
+            return self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
+        g = int(key_id[len("galois_"):])
+        gather, sign = self._galois_perm_host(g)
+        s_lift = self._lift_signed(self.s_coeffs, self.full)
+        return self.hqp.fwd(
+            self._apply_automorphism_host(s_lift, gather, sign))
+
+    def _make_ksk_host(self, s2_ntt_full: np.ndarray, stream: str) -> Tuple:
+        """Host (np64) construction of one switching key toward target
+        secret s2 (NTT domain over q∪P): (ksk_b, ksk_a), each [α, L+k, n].
+        `stream` labels the uniform/error components ("relin",
+        "galois_<g>") so any engine regenerates the same key material from
+        (seed, stream) alone."""
+        errors = self._ksk_errors(stream)
         h = self.hqp
         full, n = self.full, self.params.n
+        alpha = self.params.num_ks_digits
         ksk_b = np.empty((alpha, full, n), dtype=np.uint32)
         ksk_a = np.empty((alpha, full, n), dtype=np.uint32)
         factors = self._host["ks_factors"]
@@ -344,39 +371,47 @@ class BfvContext:
             ksk_b[i], ksk_a[i] = b_i, a_i
         return ksk_b, ksk_a
 
-    def _make_ksk_device(self, s2_ntt_full, stream: str,
-                         errors: np.ndarray) -> Tuple:
-        """Jitted device construction of one switching key; the per-digit
-        uniform a_j are regenerated in-jit from their stream keys (traced
-        scalars — ONE compile serves every key of this context)."""
+    def _build_keys_batch(self, key_ids: Sequence[str]) -> Dict[str, Tuple]:
+        """Build a SET of switching keys. np64: host loop. jx32: ONE
+        batched device composition — the uniform components are regenerated
+        in-jit from their (seed, stream) counters, the error/target
+        polynomials are the only host→device bytes, and the key count is
+        padded to a power of two so the executable is shared across
+        programs with different key sets. Bit-identical to the host path
+        (tests/test_bfv.py cross-engine cases)."""
+        if not key_ids:
+            return {}
+        if not self._on_device:
+            return {kid: self._make_ksk_host(self._ksk_target_host(kid),
+                                            _ksk_stream(kid))
+                    for kid in key_ids}
+        import jax
         import jax.numpy as jnp
         full, n = self.full, self.params.n
         alpha = self.params.num_ks_digits
-        moduli = self.params.coeff_modulus
-
-        def build(k0s, k1s, e_i32, s2_ntt, s_ntt, factors):
-            from abc_tpu.crypto.prng import uniform_rns_jx_keys
-            e = self.engine
-            q = self._tab["q_full"].reshape(1, full, 1)
-            mu = self._tab["mu_full"].reshape(1, full, 1)
-            a = uniform_rns_jx_keys(k0s, k1s, moduli, n)      # [α, full, n]
-            e_ntt = self.ntt_qp.fwd_xla(self._lift_signed_dev(e_i32, full))
-            term = e.mul(s2_ntt[None], factors, q, mu)
-            b = e.add(e.sub(e.neg(e.mul(a, s_ntt[None], q, mu), q),
-                            e_ntt, q), term, q)
-            return b, a
-
-        keys = [derive_key(self._prng_seed, f"{stream}/d{i}")
-                for i in range(alpha)]
-        k0s = jnp.asarray([k[0] for k in keys], dtype=jnp.uint32)
-        k1s = jnp.asarray([k[1] for k in keys], dtype=jnp.uint32)
-        if not isinstance(s2_ntt_full, np.ndarray):
-            s2_dev = s2_ntt_full
-        else:
-            s2_dev = jnp.asarray(s2_ntt_full)
-        return self._jit("ksk", build)(
-            k0s, k1s, jnp.asarray(errors.astype(np.int32)), s2_dev,
-            self._dev_s_ntt_full, self._tab["ks_factors"])
+        moduli = tuple(self.params.coeff_modulus)
+        K = len(key_ids)
+        K_pad = max(2, 1 << (K - 1).bit_length())     # pow2 bucket
+        streams = [_ksk_stream(kid) for kid in key_ids]
+        streams += [f"pad/{i}" for i in range(K_pad - K)]
+        k0s = np.zeros((K_pad, alpha), dtype=np.uint32)
+        k1s = np.zeros((K_pad, alpha), dtype=np.uint32)
+        for j, stream in enumerate(streams):
+            for i in range(alpha):
+                k0s[j, i], k1s[j, i] = derive_key(self._prng_seed,
+                                                  f"{stream}/d{i}")
+        errors = np.zeros((K_pad, alpha, n), dtype=np.int32)
+        for j, stream in enumerate(streams[:K]):
+            errors[j] = self._ksk_errors(stream).astype(np.int32)
+        s2_all = np.zeros((K_pad, full, n), dtype=np.uint32)
+        for j, kid in enumerate(key_ids):
+            s2_all[j] = self._ksk_target_host(kid)
+        b, a = _ksk_batch_jit(moduli)(
+            jnp.asarray(k0s), jnp.asarray(k1s), jnp.asarray(errors),
+            jax.device_put(s2_all), self._dev_s_ntt_full,
+            self._tab["ks_factors"], self._tab["q_full"],
+            self._tab["mu_full"], self.ntt_qp.fwd_tw, self.ntt_qp.fwd_tw_sh)
+        return {kid: (b[j], a[j]) for j, kid in enumerate(key_ids)}
 
     # Key plumbing for whole-program jit (runtime/jit_executor.py): a
     # recording pass collects WHICH keys a program uses; an override dict
@@ -394,12 +429,38 @@ class BfvContext:
         tracers) are returned by the getters instead of the stored keys."""
         self._key_overrides = overrides
 
-    def materialize_key(self, key_id: str) -> Tuple:
-        """Host (trace-safe) arrays for a recorded key id."""
+    def materialize_keys(self, key_ids: Sequence[str]) -> Dict[str, Tuple]:
+        """Concrete key pairs for a set of recorded key ids, building every
+        missing one in a single batched device composition (jx32) or host
+        loop (np64); results are cached unless a trace is active."""
+        from abc_tpu.utils.tracing import trace_state_clean
+        out: Dict[str, Tuple] = {}
+        missing = []
+        for kid in key_ids:
+            cached = self._cached_key(kid)
+            if cached is not None:
+                out[kid] = cached
+            else:
+                missing.append(kid)
+        built = self._build_keys_batch(missing)
+        cache_ok = trace_state_clean()
+        for kid, key in built.items():
+            out[kid] = key
+            if cache_ok:
+                if kid == "relin":
+                    self.relin_key = key
+                else:
+                    self.galois_keys[int(kid[len("galois_"):])] = key
+        return out
+
+    def _cached_key(self, key_id: str):
         if key_id == "relin":
-            return self.get_relin_key()
-        assert key_id.startswith("galois_"), key_id
-        return self.get_galois_key(int(key_id[len("galois_"):]))
+            return self.relin_key
+        return self.galois_keys.get(int(key_id[len("galois_"):]))
+
+    def materialize_key(self, key_id: str) -> Tuple:
+        """Concrete arrays for one recorded key id."""
+        return self.materialize_keys([key_id])[key_id]
 
     def _fake_ksk(self) -> Tuple:
         """Shape-correct zero key returned while the jit executor's
@@ -421,19 +482,7 @@ class BfvContext:
         ov = getattr(self, "_key_overrides", None)
         if ov and "relin" in ov:
             return ov["relin"]
-        if self.relin_key is None:
-            if self._on_device:
-                s = self._dev_s_ntt_full
-                s2 = self._jit("s_square", lambda x: self.engine.mul(
-                    x, x, self._tab["q_full"], self._tab["mu_full"]))(s)
-            else:
-                s2 = self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
-            key = self._make_ksk(s2, "relin")
-            from abc_tpu.utils.tracing import trace_state_clean
-            if not trace_state_clean():
-                return key     # in-trace build: tracers, must not be cached
-            self.relin_key = key
-        return self.relin_key
+        return self.materialize_keys(["relin"])["relin"]
 
     def get_galois_key(self, galois_elt: int) -> Tuple:
         req = getattr(self, "_key_requests", None)
@@ -443,29 +492,8 @@ class BfvContext:
         ov = getattr(self, "_key_overrides", None)
         if ov and f"galois_{galois_elt}" in ov:
             return ov[f"galois_{galois_elt}"]
-        if galois_elt not in self.galois_keys:
-            gather, sign = self._galois_perm_host(galois_elt)
-            if self._on_device:
-                # τ(s) in the SIGNED domain (τ flips signs of ternary
-                # coeffs — same values the host lift produces), then
-                # lift + NTT on device
-                import jax.numpy as jnp
-                tau = np.where(sign, self.s_coeffs[gather],
-                               -self.s_coeffs[gather]).astype(np.int32)
-                s_tau_ntt = self._jit("lift_ntt_full", lambda v:
-                                      self.ntt_qp.fwd_xla(
-                                          self._lift_signed_dev(
-                                              v, self.full)))(jnp.asarray(tau))
-            else:
-                s_lift = self._lift_signed(self.s_coeffs, self.full)
-                s_tau_ntt = self.hqp.fwd(
-                    self._apply_automorphism_host(s_lift, gather, sign))
-            key = self._make_ksk(s_tau_ntt, f"galois_{galois_elt}")
-            from abc_tpu.utils.tracing import trace_state_clean
-            if not trace_state_clean():
-                return key     # in-trace build: tracers, must not be cached
-            self.galois_keys[galois_elt] = key
-        return self.galois_keys[galois_elt]
+        kid = f"galois_{galois_elt}"
+        return self.materialize_keys([kid])[kid]
 
     # ----------------------------------------------------------------- encoding
     @staticmethod
@@ -542,31 +570,38 @@ class BfvContext:
         return BfvCiphertext(np.stack([c0, c1]))
 
     def _encrypt_many_device(self, pts, samples) -> List[BfvCiphertext]:
+        """One module-level jitted device call for the whole batch. The
+        batch is PADDED to a multiple of 16 (with zero samples, drawn from
+        no generator): batch-1 shapes measured pathological XLA compiles
+        (36-380 s on this rig), B=16 compiles in ~2 s, and the bucketing
+        keeps one executable shared across programs with different input
+        counts. Padding lanes are discarded."""
         import jax.numpy as jnp
-        L = self.params.L
+        from abc_tpu.utils.tracing import trace_state_clean
+        B = len(pts)
+        # pad only for EAGER calls (compile-shape bucketing); inside a
+        # trace the encryption is inlined into the surrounding program and
+        # padded lanes would be computed in its hot path every run
+        B_pad = max(16, -(-B // 16) * 16) if trace_state_clean() else B
+        n = self.params.n
 
-        def enc(m_u32, u_i32, e0_i32, e1_i32, pk_b, pk_a):
-            e = self.engine
-            q, mu = self.q_q, self.mu_q
-            u_ntt = self.ntt_q.fwd_xla(self._lift_signed_dev(u_i32, L))
-            pre = jnp.stack([e.mul(pk_b[None], u_ntt, q, mu),
-                             e.mul(pk_a[None], u_ntt, q, mu)],
-                            axis=1)                          # [B, 2, L, n]
-            ci = self.ntt_q.inv_xla(pre)
-            dm = e.mul(m_u32[:, None, :], self._tab["delta_mod_q"], q, mu)
-            c0 = e.add(e.add(ci[:, 0], self._lift_signed_dev(e0_i32, L), q),
-                       dm, q)
-            c1 = e.add(ci[:, 1], self._lift_signed_dev(e1_i32, L), q)
-            return jnp.stack([c0, c1], axis=1)
+        def pad(arr):
+            out = np.zeros((B_pad,) + arr.shape[1:], dtype=arr.dtype)
+            out[:B] = arr
+            return out
 
-        m = np.stack([pt.coeffs for pt in pts]).astype(np.uint32)
-        u = np.stack([s[0] for s in samples]).astype(np.int32)
-        e0 = np.stack([s[1] for s in samples]).astype(np.int32)
-        e1 = np.stack([s[2] for s in samples]).astype(np.int32)
-        out = self._jit(f"enc_b{len(pts)}", enc)(
+        m = pad(np.stack([pt.coeffs for pt in pts]).astype(np.uint32))
+        u = pad(np.stack([s[0] for s in samples]).astype(np.int32))
+        e0 = pad(np.stack([s[1] for s in samples]).astype(np.int32))
+        e1 = pad(np.stack([s[2] for s in samples]).astype(np.int32))
+        ntt = self.ntt_q
+        out = _enc_jit()(
             jnp.asarray(m), jnp.asarray(u), jnp.asarray(e0),
-            jnp.asarray(e1), self._dev_pk_b, self._dev_pk_a)
-        return [BfvCiphertext(out[i]) for i in range(len(pts))]
+            jnp.asarray(e1), self._dev_pk_b, self._dev_pk_a,
+            self.q_q, self.mu_q, self._tab["delta_mod_q"],
+            ntt.fwd_tw, ntt.fwd_tw_sh, ntt.inv_tw, ntt.inv_tw_sh,
+            ntt.n_inv, ntt.n_inv_sh)
+        return [BfvCiphertext(out[i]) for i in range(B)]
 
     def _lift_plain_host(self, pt: Plaintext) -> np.ndarray:
         # plaintext coefficients are < t < every q_j: no reduction needed
@@ -607,54 +642,17 @@ class BfvContext:
         return self._decrypt_exact(v)[0]
 
     def _decrypt_device(self, ct: BfvCiphertext) -> Plaintext:
-        import jax.numpy as jnp
-        L = self.params.L
-        t = self.params.plain_modulus
-        mu_t = self._dec_mu_t
-
-        def reduce_t(v):            # v < 2^31 → v mod t (t < 2^21)
-            z = self.engine.umulhi(v, jnp.uint32(mu_t))
-            r = v - z * jnp.uint32(t)
-            for _ in range(3):
-                r = jnp.where(r >= t, r - jnp.uint32(t), r)
-            return r
-
-        def dec(data):
-            e = self.engine
-            q, mu = self.q_q, self.mu_q
-            c_ntt = self.ntt_q.fwd_xla(data)              # [size, L, n]
-            s = self._dev_s_ntt_full[:L]
-            acc = e.add(c_ntt[0], e.mul(c_ntt[1], s, q, mu), q)
-            if data.shape[0] == 3:                        # lazy-relin size 3
-                s2 = e.mul(s, s, q, mu)
-                acc = e.add(acc, e.mul(c_ntt[2], s2, q, mu), q)
-            v = self.ntt_q.inv_xla(acc)                   # [L, n] coeff dom
-            y = e.mul_shoup(v, self._tab["dec_qinv"],
-                            self._tab["dec_qinv_sh"], q)
-            F = jnp.zeros(v.shape[-1], jnp.uint32)        # fractional 2^-32
-            msum = jnp.zeros(v.shape[-1], jnp.uint32)     # integer, mod t
-            for l in range(L):
-                yl = y[l]
-                f_hi = self._tab["dec_f_hi"][l, 0]
-                f_lo = self._tab["dec_f_lo"][l, 0]
-                lo1 = yl * f_hi                           # frac contribution
-                hi1 = e.umulhi(yl, f_hi)                  # integer part
-                hi2 = e.umulhi(yl, f_lo)                  # frac (2^-32 units)
-                F1 = F + lo1
-                c1 = (F1 < lo1).astype(jnp.uint32)
-                F = F1 + hi2
-                c2 = (F < hi2).astype(jnp.uint32)
-                msum = reduce_t(msum + reduce_t(hi1 + c1 + c2))
-            half = jnp.uint32(1 << 31)
-            m = reduce_t(msum + (F >= half).astype(jnp.uint32))
-            dist = jnp.where(F >= half, F - half, half - F)
-            at_boundary = jnp.any(dist < jnp.uint32(4096))
-            return m, at_boundary, v
-
         import jax
+        import jax.numpy as jnp
+        ntt = self.ntt_q
         data = ct.data if not isinstance(ct.data, np.ndarray) \
             else jnp.asarray(ct.data)
-        m, flag, v = self._jit("decrypt", dec)(data)
+        m, flag, v = _dec_jit(self.params.plain_modulus, self._dec_mu_t)(
+            data, self._dev_s_ntt_full[:self.params.L], self.q_q, self.mu_q,
+            self._tab["dec_qinv"], self._tab["dec_qinv_sh"],
+            self._tab["dec_f_hi"], self._tab["dec_f_lo"],
+            ntt.fwd_tw, ntt.fwd_tw_sh, ntt.inv_tw, ntt.inv_tw_sh,
+            ntt.n_inv, ntt.n_inv_sh)
         # ONE host pull for (m, flag) — separate np.asarray calls each pay
         # a full device round trip on the tunneled TPU; v stays on device
         # unless the boundary flag forces the exact fallback
@@ -764,9 +762,7 @@ class BfvContext:
         (SealCiphertext.cpp:121-124: multiply_inplace + relinearize_inplace).
         a_pre/b_pre: optional precompute_mult_operand results, hoisting the
         per-operand lift+NTT for operands reused across multiplies."""
-        if self._behz is None:
-            from abc_tpu.crypto.behz import BehzContext
-            self._behz = BehzContext(self.params, ntt_q=self.ntt_q)
+        behz = self._get_behz()
         if a.size != 2 or b.size != 2:
             raise RuntimeExecutionError("multiply expects size-2 ciphertexts")
         self.counters["mult"] += 1
@@ -775,8 +771,8 @@ class BfvContext:
         if b_pre is None:
             b_pre = a_pre if b.data is a.data else \
                 self._operand_cached(b.data)
-        ct3 = BfvCiphertext(self._behz.multiply(a.data, b.data,
-                                                pre1=a_pre, pre2=b_pre))
+        ct3 = BfvCiphertext(behz.multiply(a.data, b.data,
+                                          pre1=a_pre, pre2=b_pre))
         return self._dbg_check(self.relinearize(ct3) if relinearize else ct3)
 
     def _operand_cached(self, ct_data):
@@ -797,7 +793,7 @@ class BfvContext:
             self.counters["op_ntt_hit"] += 1
             return hit[1]
         self.counters["op_ntt"] += 1
-        pre = self._behz.precompute_operand(ct_data)
+        pre = self._get_behz().precompute_operand(ct_data)
         cache[key] = (ct_data, pre)
         while len(cache) > 8:
             cache.popitem(last=False)
@@ -806,10 +802,7 @@ class BfvContext:
     def precompute_mult_operand(self, a: BfvCiphertext):
         """Hoistable per-operand half of `multiply` (NTT forms over q and
         Bsk) — SEAL transform_to_ntt analogue for a reused multiplier."""
-        if self._behz is None:
-            from abc_tpu.crypto.behz import BehzContext
-            self._behz = BehzContext(self.params, ntt_q=self.ntt_q)
-        return self._behz.precompute_operand(a.data)
+        return self._get_behz().precompute_operand(a.data)
 
     def square(self, a: BfvCiphertext, relinearize: bool = True) -> BfvCiphertext:
         return self.multiply(a, a, relinearize=relinearize)
@@ -1055,6 +1048,137 @@ class BfvContext:
     def rotate_columns(self, ct: BfvCiphertext) -> BfvCiphertext:
         """Swap the two batching rows (galois element 2n−1)."""
         return self.apply_galois(ct, 2 * self.params.n - 1)
+
+
+# ----------------------------------------------------- module-level device jits
+#
+# The jx32 host-boundary builders (encrypt / decrypt / switching keys) are
+# MODULE-LEVEL jitted functions taking every table as an ARGUMENT: all
+# contexts with matching shapes share one compiled executable per shape.
+# Per-context jit closures would retrace AND recompile for every context —
+# and on the axon-tunneled TPU a fresh XLA compile costs seconds to minutes
+# with an unreliable cross-process cache. They use the pure-XLA stage-loop
+# NTT (_fwd_stages/_inv_stages — no Mosaic compile), bit-identical to the
+# Pallas hot path.
+
+_MJIT: Dict = {}
+
+
+def _mjit(key, make_fn):
+    if key not in _MJIT:
+        import jax
+        _MJIT[key] = jax.jit(make_fn())
+    return _MJIT[key]
+
+
+def _ksk_stream(key_id: str) -> str:
+    """Key id → PRNG stream label (identical for both engines)."""
+    return key_id          # "relin" / "galois_<g>"
+
+
+def _lift_signed_u32(v_i32, q_col):
+    """[..., n] int32 signed coeffs → [..., L, n] uint32 residues (device).
+    Two's-complement wrap makes q + v ≡ q − |v| (mod 2^32)."""
+    import jax.numpy as jnp
+    v_u = v_i32.astype(jnp.uint32)[..., None, :]
+    neg = (v_i32 < 0)[..., None, :]
+    return jnp.where(neg, q_col + v_u, v_u)
+
+
+def _ksk_batch_jit(moduli: Tuple[int, ...]):
+    """Batched switching-key builder over K padded keys (see
+    BfvContext._build_keys_batch); keyed by the modulus chain."""
+    def make():
+        def build(k0s, k1s, e_i32, s2_all, s_ntt, factors, q_full, mu_full,
+                  fwd_tw, fwd_tw_sh):
+            from abc_tpu.crypto.ntt import _fwd_stages
+            from abc_tpu.crypto.prng import uniform_rns_jx_keys
+            from abc_tpu.ops.modarith import jx32 as e
+            n = e_i32.shape[-1]
+            q = q_full.reshape(1, 1, -1, 1)
+            mu = mu_full.reshape(1, 1, -1, 1)
+            a = uniform_rns_jx_keys(k0s, k1s, moduli, n)   # [K, α, full, n]
+            e_lift = _lift_signed_u32(e_i32, q_full)
+            e_ntt = _fwd_stages(e, e_lift, fwd_tw, fwd_tw_sh, q_full)
+            term = e.mul(s2_all[:, None], factors[None], q, mu)
+            b = e.add(e.sub(e.neg(e.mul(a, s_ntt[None, None], q, mu), q),
+                            e_ntt, q), term, q)
+            return b, a
+        return build
+    return _mjit(("ksk", moduli), make)
+
+
+def _enc_jit():
+    """Batched public-key encryption (see _encrypt_many_device)."""
+    def make():
+        def enc(m_u32, u_i32, e0_i32, e1_i32, pk_b, pk_a, q, mu, delta,
+                fwd_tw, fwd_tw_sh, inv_tw, inv_tw_sh, n_inv, n_inv_sh):
+            import jax.numpy as jnp
+            from abc_tpu.crypto.ntt import _fwd_stages, _inv_stages
+            from abc_tpu.ops.modarith import jx32 as e
+            u_ntt = _fwd_stages(e, _lift_signed_u32(u_i32, q),
+                                fwd_tw, fwd_tw_sh, q)      # [B, L, n]
+            pre = jnp.stack([e.mul(pk_b[None], u_ntt, q, mu),
+                             e.mul(pk_a[None], u_ntt, q, mu)],
+                            axis=1)                        # [B, 2, L, n]
+            ci = _inv_stages(e, pre, inv_tw, inv_tw_sh, q, n_inv, n_inv_sh)
+            dm = e.mul(m_u32[:, None, :], delta, q, mu)
+            c0 = e.add(e.add(ci[:, 0], _lift_signed_u32(e0_i32, q), q),
+                       dm, q)
+            c1 = e.add(ci[:, 1], _lift_signed_u32(e1_i32, q), q)
+            return jnp.stack([c0, c1], axis=1)
+        return enc
+    return _mjit("enc", make)
+
+
+def _dec_jit(t: int, mu_t: int):
+    """Device decryption: c₀+c₁s(+c₂s²) dot product + exact u32 fixed-point
+    CRT scale-and-round (θ_l = t/q_l carried as a 64-bit fixed-point pair;
+    see the table notes in BfvContext.__init__). Returns (m, at_boundary,
+    v) — the boundary flag triggers the host exact-bigint fallback."""
+    def make():
+        def reduce_t(v, e):         # v < 2^31 → v mod t (t < 2^21)
+            import jax.numpy as jnp
+            z = e.umulhi(v, jnp.uint32(mu_t))
+            r = v - z * jnp.uint32(t)
+            for _ in range(3):
+                r = jnp.where(r >= t, r - jnp.uint32(t), r)
+            return r
+
+        def dec(data, s_ntt_L, q, mu, qinv, qinv_sh, f_hi_tab, f_lo_tab,
+                fwd_tw, fwd_tw_sh, inv_tw, inv_tw_sh, n_inv, n_inv_sh):
+            import jax.numpy as jnp
+            from abc_tpu.crypto.ntt import _fwd_stages, _inv_stages
+            from abc_tpu.ops.modarith import jx32 as e
+            L = data.shape[-2]
+            c_ntt = _fwd_stages(e, data, fwd_tw, fwd_tw_sh, q)
+            acc = e.add(c_ntt[0], e.mul(c_ntt[1], s_ntt_L, q, mu), q)
+            if data.shape[0] == 3:                        # lazy-relin size 3
+                s2 = e.mul(s_ntt_L, s_ntt_L, q, mu)
+                acc = e.add(acc, e.mul(c_ntt[2], s2, q, mu), q)
+            v = _inv_stages(e, acc, inv_tw, inv_tw_sh, q, n_inv, n_inv_sh)
+            y = e.mul_shoup(v, qinv, qinv_sh, q)
+            F = jnp.zeros(v.shape[-1], jnp.uint32)        # fractional 2^-32
+            msum = jnp.zeros(v.shape[-1], jnp.uint32)     # integer, mod t
+            for l in range(L):
+                yl = y[l]
+                f_hi = f_hi_tab[l, 0]
+                f_lo = f_lo_tab[l, 0]
+                lo1 = yl * f_hi                           # frac contribution
+                hi1 = e.umulhi(yl, f_hi)                  # integer part
+                hi2 = e.umulhi(yl, f_lo)                  # frac (2^-32 units)
+                F1 = F + lo1
+                c1 = (F1 < lo1).astype(jnp.uint32)
+                F = F1 + hi2
+                c2 = (F < hi2).astype(jnp.uint32)
+                msum = reduce_t(msum + reduce_t(hi1 + c1 + c2, e), e)
+            half = jnp.uint32(1 << 31)
+            m = reduce_t(msum + (F >= half).astype(jnp.uint32), e)
+            dist = jnp.where(F >= half, F - half, half - F)
+            at_boundary = jnp.any(dist < jnp.uint32(4096))
+            return m, at_boundary, v
+        return dec
+    return _mjit(("dec", t), make)
 
 
 # --------------------------------------------------------------------- helpers

@@ -137,6 +137,12 @@ class CkksContext:
         self.hqp = NttContext(n, moduli, engine="np64")
         self.ntt_qp = NttContext(n, moduli, engine=params.engine) \
             if self._on_device else self.hqp
+        if self._on_device:
+            # attach the Pallas hot path eagerly: CKKS leveled SUBSETS are
+            # requested inside jit traces and must inherit the parent's
+            # attached kernels (a first-use attach in-trace falls back to
+            # the XLA stage loop)
+            self.ntt_qp.warm()
         self.engine = self.ntt_qp.engine
 
         L, P = params.L, params.special_prime

@@ -114,25 +114,58 @@ class NttContext:
                 name: np.asarray(getattr(self, name))
                 for name in ("q", "fwd_tw", "fwd_tw_sh", "inv_tw",
                              "inv_tw_sh", "n_inv", "n_inv_sh")}
-            for name in ("q", "mu", "fwd_tw", "fwd_tw_sh", "inv_tw",
-                         "inv_tw_sh", "n_inv", "n_inv_sh"):
-                setattr(self, name, jnp.asarray(getattr(self, name)))
-            # jit the transforms: one compile per input shape, then fast
-            self.fwd = jax.jit(self.fwd)
-            self.inv = jax.jit(self.inv)
-            # keep the pure-XLA stage-loop transforms accessible even after
-            # the Pallas kernels are attached: the host-boundary builders
+            # ONE batched transfer: per-array device_put costs a full
+            # round trip each over the tunneled TPU
+            names = ("q", "mu", "fwd_tw", "fwd_tw_sh", "inv_tw",
+                     "inv_tw_sh", "n_inv", "n_inv_sh")
+            dev = jax.device_put(tuple(getattr(self, n_) for n_ in names))
+            for n_, v in zip(names, dev):
+                setattr(self, n_, v)
+            # jitted transforms via MODULE-LEVEL functions with the twiddle
+            # tables as ARGUMENTS: every context with the same shapes reuses
+            # one compiled executable (a per-context closure would retrace
+            # and recompile per context — on the axon-tunneled TPU a fresh
+            # XLA compile costs seconds to minutes and the persistent cache
+            # is unreliable across processes).
+            self.fwd_xla = lambda a: _jx_fwd(a, self.fwd_tw, self.fwd_tw_sh,
+                                             self.q)
+            self.inv_xla = lambda a: _jx_inv(a, self.inv_tw, self.inv_tw_sh,
+                                             self.q, self.n_inv,
+                                             self.n_inv_sh)
+            # the pure-XLA stage-loop (fwd_xla/inv_xla) stays accessible
+            # after the Pallas kernels are attached: host-boundary builders
             # (keygen / switching keys / encrypt / decrypt) use these so
-            # they never pay a Mosaic compile — on the axon-tunneled TPU a
-            # fresh Pallas compile measured 40-700 s and the persistent
-            # compilation cache does not serialize across processes there.
-            # Bit-identical to the Pallas path (tests/test_pallas_ntt.py).
-            self.fwd_xla = self.fwd
-            self.inv_xla = self.inv
-            self._attach_pallas()
+            # they never pay a Mosaic compile. Bit-identical to the Pallas
+            # path (tests/test_pallas_ntt.py). The Pallas attach itself is
+            # LAZY (first hot-path transform): its host table build +
+            # device transfer costs ~1.2 s at n=16384 and must not land in
+            # the keygen phase.
+            self._hot_attached = False
+            self.fwd = lambda a: self._hot("fwd")(a)
+            self.inv = lambda a: self._hot("inv")(a)
             self.negacyclic_mul = jax.jit(self.negacyclic_mul)
         elif engine == "np64":
             self._attach_native()
+
+    def _hot(self, which: str):
+        """Hot-path transform, attaching the Pallas kernels on first use.
+        If the first use happens INSIDE a jit trace the attach is deferred
+        (its device tables would become trace-local tracers) and the
+        pure-XLA stage loop serves that trace — call warm() eagerly first
+        (BfvContext.ensure_eval_ready does) for peak compiled code."""
+        if not self._hot_attached:
+            from abc_tpu.utils.tracing import trace_state_clean
+            if not trace_state_clean():
+                return self.fwd_xla if which == "fwd" else self.inv_xla
+            self._hot_attached = True
+            self._fwd_hot, self._inv_hot = self.fwd_xla, self.inv_xla
+            self._attach_pallas()
+        return self._fwd_hot if which == "fwd" else self._inv_hot
+
+    def warm(self) -> None:
+        """Eagerly attach the hot-path (Pallas) kernels. No-op on np64."""
+        if getattr(self, "engine_name", "np64") == "jx32":
+            self._hot("fwd")
 
     def _attach_pallas(self) -> None:
         """On the TPU backend, swap in the fused Pallas butterfly kernels
@@ -154,8 +187,8 @@ class NttContext:
         except Exception:
             return  # any pallas setup failure: keep the jnp stage loop
         self._pallas = kern
-        self.fwd = kern.fwd
-        self.inv = kern.inv
+        self._fwd_hot = kern.fwd
+        self._inv_hot = kern.inv
 
     def _attach_native(self) -> None:
         """Swap in the C++ engine (native/modpoly.cpp) for host transforms —
@@ -208,18 +241,21 @@ class NttContext:
             view.host_tables = {k: v[idx] for k, v in self.host_tables.items()}
         if self.engine_name == "jx32":
             import jax
-            view.fwd = jax.jit(NttContext.fwd.__get__(view))
-            view.inv = jax.jit(NttContext.inv.__get__(view))
-            view.fwd_xla = view.fwd
-            view.inv_xla = view.inv
+            view.fwd_xla = lambda a: _jx_fwd(a, view.fwd_tw, view.fwd_tw_sh,
+                                             view.q)
+            view.inv_xla = lambda a: _jx_inv(a, view.inv_tw, view.inv_tw_sh,
+                                             view.q, view.n_inv,
+                                             view.n_inv_sh)
+            view._hot_attached = False
+            view.fwd = lambda a: view._hot("fwd")(a)
+            view.inv = lambda a: view._hot("inv")(a)
             if hasattr(self, "_pallas"):
                 # share the parent's device twiddle tables (row slices) —
                 # no host Montgomery recomputation per subset
+                view._hot_attached = True
                 view._pallas = self._pallas.sliced(indices)
-                view.fwd = view._pallas.fwd
-                view.inv = view._pallas.inv
-            else:
-                view._attach_pallas()
+                view._fwd_hot = view._pallas.fwd
+                view._inv_hot = view._pallas.inv
             view.negacyclic_mul = jax.jit(NttContext.negacyclic_mul.__get__(view))
         elif self.engine_name == "np64":
             view._attach_native()
@@ -230,44 +266,13 @@ class NttContext:
     # --- transforms -----------------------------------------------------------
     def fwd(self, a):
         """Forward negacyclic NTT along the last axis ([..., L, n])."""
-        e = self.engine
-        n = self.n
-        batch = a.shape[:-2]
-        L = a.shape[-2]
-        m = 1
-        while m < n:
-            t = n // (2 * m)
-            x = a.reshape(batch + (L, m, 2, t))
-            w = self.fwd_tw[:, m:2 * m].reshape((L, m, 1))
-            wsh = self.fwd_tw_sh[:, m:2 * m].reshape((L, m, 1))
-            q = self.q.reshape((L, 1, 1))
-            u = x[..., 0, :]
-            v = e.mul_shoup(x[..., 1, :], w, wsh, q)
-            a = _stack_pairs(e.add(u, v, q), e.sub(u, v, q), batch, L, m, t)
-            m *= 2
-        return a
+        return _fwd_stages(self.engine, a, self.fwd_tw, self.fwd_tw_sh,
+                           self.q)
 
     def inv(self, a):
         """Inverse negacyclic NTT along the last axis (exact inverse of fwd)."""
-        e = self.engine
-        n = self.n
-        batch = a.shape[:-2]
-        L = a.shape[-2]
-        m = n // 2
-        while m >= 1:
-            t = n // (2 * m)
-            x = a.reshape(batch + (L, m, 2, t))
-            w = self.inv_tw[:, m:2 * m].reshape((L, m, 1))
-            wsh = self.inv_tw_sh[:, m:2 * m].reshape((L, m, 1))
-            q = self.q.reshape((L, 1, 1))
-            u = x[..., 0, :]
-            v = x[..., 1, :]
-            s = e.add(u, v, q)
-            d = e.mul_shoup(e.sub(u, v, q), w, wsh, q)
-            a = _stack_pairs(s, d, batch, L, m, t)
-            m //= 2
-        # scale by n^{-1}
-        return e.mul_shoup(a, self.n_inv, self.n_inv_sh, self.q)
+        return _inv_stages(self.engine, a, self.inv_tw, self.inv_tw_sh,
+                           self.q, self.n_inv, self.n_inv_sh)
 
     # --- pointwise helpers ------------------------------------------------------
     def pointwise_mul(self, a, b):
@@ -285,6 +290,71 @@ class NttContext:
     def negacyclic_mul(self, a, b):
         """Full polynomial product in R_q = Z_q[x]/(x^n+1) via NTT."""
         return self.inv(self.pointwise_mul(self.fwd(a), self.fwd(b)))
+
+
+def _fwd_stages(e, a, fwd_tw, fwd_tw_sh, q_col):
+    """Cooley-Tukey stage loop over explicit tables (engine-generic)."""
+    n = a.shape[-1]
+    batch = a.shape[:-2]
+    L = a.shape[-2]
+    m = 1
+    while m < n:
+        t = n // (2 * m)
+        x = a.reshape(batch + (L, m, 2, t))
+        w = fwd_tw[:, m:2 * m].reshape((L, m, 1))
+        wsh = fwd_tw_sh[:, m:2 * m].reshape((L, m, 1))
+        q = q_col.reshape((L, 1, 1))
+        u = x[..., 0, :]
+        v = e.mul_shoup(x[..., 1, :], w, wsh, q)
+        a = _stack_pairs(e.add(u, v, q), e.sub(u, v, q), batch, L, m, t)
+        m *= 2
+    return a
+
+
+def _inv_stages(e, a, inv_tw, inv_tw_sh, q_col, n_inv, n_inv_sh):
+    """Gentleman-Sande stage loop (exact inverse of _fwd_stages)."""
+    n = a.shape[-1]
+    batch = a.shape[:-2]
+    L = a.shape[-2]
+    m = n // 2
+    while m >= 1:
+        t = n // (2 * m)
+        x = a.reshape(batch + (L, m, 2, t))
+        w = inv_tw[:, m:2 * m].reshape((L, m, 1))
+        wsh = inv_tw_sh[:, m:2 * m].reshape((L, m, 1))
+        q = q_col.reshape((L, 1, 1))
+        u = x[..., 0, :]
+        v = x[..., 1, :]
+        s = e.add(u, v, q)
+        d = e.mul_shoup(e.sub(u, v, q), w, wsh, q)
+        a = _stack_pairs(s, d, batch, L, m, t)
+        m //= 2
+    return e.mul_shoup(a, n_inv, n_inv_sh, q_col)
+
+
+# Module-level jitted jx32 transforms: tables are ARGUMENTS, so every
+# context/subset with matching shapes shares one compiled executable per
+# shape (per-context jit closures would recompile each time).
+_JX_JIT = {}
+
+
+def _jx_fwd(a, tw, twsh, q):
+    if "fwd" not in _JX_JIT:
+        import jax
+        eng = get_engine("jx32")
+        _JX_JIT["fwd"] = jax.jit(
+            lambda a, tw, twsh, q: _fwd_stages(eng, a, tw, twsh, q))
+    return _JX_JIT["fwd"](a, tw, twsh, q)
+
+
+def _jx_inv(a, tw, twsh, q, n_inv, n_inv_sh):
+    if "inv" not in _JX_JIT:
+        import jax
+        eng = get_engine("jx32")
+        _JX_JIT["inv"] = jax.jit(
+            lambda a, tw, twsh, q, ni, nish:
+            _inv_stages(eng, a, tw, twsh, q, ni, nish))
+    return _JX_JIT["inv"](a, tw, twsh, q, n_inv, n_inv_sh)
 
 
 def _stack_pairs(top, bot, batch, L, m, t):

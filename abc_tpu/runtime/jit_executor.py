@@ -55,6 +55,12 @@ class JittedProgram:
         self.factory = factory
         self.compiled = compiled
         self.output_ast = output_ast
+        # build the hot-path machinery (BEHZ tables, Pallas kernels) NOW,
+        # outside any trace — in-trace construction would bake device
+        # tables as trace-local tracers
+        _ctx = getattr(factory, "context", None)
+        if _ctx is not None and hasattr(_ctx, "ensure_eval_ready"):
+            _ctx.ensure_eval_ready()
 
         # host-side input preparation: evaluate declarations, encrypt secrets
         # (batched: one device call encrypts every secret input)
@@ -143,13 +149,18 @@ class JittedProgram:
             # device_put ONCE: keys as host numpy would re-transfer
             # ~23 MB/key (n=16384) on EVERY call — over a remote-TPU
             # tunnel that dominates the whole step time. Keys that are
-            # ALREADY device arrays (jx32 contexts build them on device)
-            # pass through untouched — np.asarray on them would round-trip
-            # the whole key through the host.
+            # ALREADY device arrays (jx32 contexts build them on device,
+            # ALL requested keys in one batched composition) pass through
+            # untouched — np.asarray on them would round-trip the whole
+            # key through the host.
+            if hasattr(ctx, "materialize_keys"):
+                mats = ctx.materialize_keys(sorted(requests))
+            else:
+                mats = {k: ctx.materialize_key(k) for k in sorted(requests)}
             self._key_args = {
                 k: tuple(x if hasattr(x, "devices")
                          else jax.device_put(np.asarray(x))
-                         for x in ctx.materialize_key(k))
+                         for x in mats[k])
                 for k in sorted(requests)}
 
             def fn_keyed(secret_arrays, key_arrays):
@@ -226,12 +237,18 @@ class JittedProgram:
 
     def run(self) -> Dict[str, List]:
         """Execute and decrypt all outputs (host-side decrypt boundary)."""
-        raw = self.run_raw(self.secret_inputs)
+        return self.decrypt_outputs(self.run_raw(self.secret_inputs))
+
+    def decrypt_outputs(self, raw: Dict[str, object]) -> Dict[str, List]:
+        """Decrypt raw executable outputs (the host decrypt boundary,
+        timeable separately from run_raw)."""
         out: Dict[str, List] = {}
         for name, arr in raw.items():
             if self._out_is_ct[name]:
-                handle = self.factory.jit_unpack(np.asarray(arr),
-                                                 self._out_meta[name])
+                # keep the ciphertext ON DEVICE: factories with a device
+                # decrypt path consume it directly (pulling it to host
+                # first costs a ~1.7 MB round trip at n=16384)
+                handle = self.factory.jit_unpack(arr, self._out_meta[name])
                 out[name] = self.factory.decrypt(handle)
             else:
                 out[name] = list(np.asarray(arr).tolist())

@@ -91,6 +91,7 @@ def timed_per_iter(make_chain, chain, *args):
 
 # --- config 2: batched ct-ct mult+relin at n=8192 --------------------------
 ctx = BfvContext(BfvParams.create(N, engine="jx32", seed=123))
+ctx.ensure_eval_ready()     # attach Pallas + BEHZ eagerly (outside traces)
 ctx.get_relin_key()
 a = ctx.encrypt(ctx.encode([1, 2, 3, 4]))
 b = ctx.encrypt(ctx.encode([5, 6, 7, 8]))
@@ -124,6 +125,7 @@ t_single, _ = timed_per_iter(lambda c: jax.jit(make_chain(c)), CHAIN,
 p16 = BfvParams.create(N_NTT, engine="jx32", seed=5)
 moduli = list(p16.coeff_modulus)    # 13 data + 1 special prime = 14 rows
 ntt = NttContext(N_NTT, moduli, engine="jx32")
+ntt.warm()                  # attach the Pallas kernels outside the trace
 rows = len(moduli)
 rng = np.random.default_rng(0)
 x0 = jnp.asarray(rng.integers(0, min(moduli), size=(rows, N_NTT),
