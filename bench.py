@@ -16,12 +16,17 @@ headline metrics (the driver records the last line in BENCH_r{N}.json):
                          LaplaceSharpening e2e at the reference's n=16384
                          via the whole-program JIT — measured fresh each run.
 
-Speed-of-light model (docs/DESIGN_NOTES.md): the roll-based Pallas butterfly
-costs ~20 u32 VPU ops/element/stage = ~40 ops per butterfly (2 elements);
-v5e VPU ≈ 8×128 lanes × 4 ALUs @ ~0.94 GHz ≈ 3.85e12 u32 ops/s, so
-speed-of-light ≈ 9.6e10 butterflies/s/chip. The NTT baseline stand-in is
+Speed-of-light model (docs/NTT_ABLATION.md — measured, not paper): the
+measured component ablation puts the shipping kernel at 31.06 us/fwd
+(n=16384, L=14) = 8.3 us HBM/grid floor + 10.3 us rolls + 13.8 us
+multiplies. The VPU_SOL constant below is the ROUND-2 PAPER model (20 u32
+ops/el/stage over a 3.85e12 ops/s VPU = 9.63e10 bf/s), kept so pct_sol is
+comparable across rounds; the honest op census (~82 ALU + 4 rolls per
+butterfly) prices the same VPU at ~4.7e10 bf/s, which the kernel exceeds —
+see the ablation doc for the reconciliation. The NTT baseline stand-in is
 SEAL's CPU NTT at n=16384 ≈ 0.57 ms/row ≈ 2.0e8 butterflies/s (m5n.xlarge,
-single thread, documented stand-in — BASELINE.md).
+single thread, documented stand-in — BASELINE.md). All timings use
+two-point chain differencing (the tunnel adds ~22 ms fixed per dispatch).
 
 Robustness: the TPU tunnel in this environment can wedge; every device
 measurement runs in a SUBPROCESS with a hard timeout, falling back to a
