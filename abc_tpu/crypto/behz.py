@@ -116,7 +116,15 @@ class BehzContext:
     # ------------------------------------------------------------------ helpers
     def _fastconv(self, y, table, dst_q, dst_mu):
         """Σ_i y_i·table[i, d] mod dst_d — the RNS base-conversion contraction.
-        y: [..., K, n], table: [K, D] → out [..., D, n]."""
+        y: [..., K, n], table: [K, D] → out [..., D, n].
+
+        Fusion note (round-2 review item 5): an accumulate-over-limbs form
+        that avoids materializing the [..., K, D, n] product tensor was
+        measured on the real chip at n=8192 single-ct mult+relin — 3451
+        ops/s vs 3597 for this vectorized form, i.e. XLA already fuses the
+        contraction and the broadcast form schedules slightly better. The
+        elementwise BEHZ work is ~30% of the op; the NTT rows dominate
+        (docs/DESIGN_NOTES.md)."""
         e = self.engine
         prod = e.mul(y[..., :, None, :], table[:, :, None],
                      dst_q[None, :, :], dst_mu[None, :, :])

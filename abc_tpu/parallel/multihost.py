@@ -103,7 +103,7 @@ def _global_array(mesh, spec, host_np):
         host_np.shape, sharding, lambda idx: host_np[idx])
 
 
-def run_multihost_bfv(layout: str, n: int = 256,
+def run_multihost_bfv(layout: str, n: int = 256, data_limbs: int = None,
                       batch_per_dp: int = 2, repeats: int = 3,
                       verbose: bool = True) -> Dict:
     """The full sharded BFV step (add + Galois rotation with sharded
@@ -120,7 +120,11 @@ def run_multihost_bfv(layout: str, n: int = 256,
 
     mesh = host_chip_mesh(layout)
     dp, limb = mesh.shape["dp"], mesh.shape["limb"]
-    ctx = build_context(n=n, data_limbs=limb, seed=11)
+    if data_limbs is None:
+        data_limbs = limb
+    else:          # round up to a multiple of the limb mesh axis
+        data_limbs = limb * (-(-data_limbs // limb))
+    ctx = build_context(n=n, data_limbs=data_limbs, seed=11)
 
     B = batch_per_dp * dp
     batch_vals = [[(i + j + 1) % 7 + 1 for j in range(4)] for i in range(B)]
@@ -241,18 +245,22 @@ def _worker_main(args) -> None:
     out = {"process_id": args.process_id,
            "process_count": jax.process_count(),
            "global_devices": jax.device_count()}
+    n_bfv = args.n_bfv or args.n
+    limbs = args.bfv_limbs or None
     out["bfv_batch_over_dcn"] = run_multihost_bfv(
-        "batch-over-dcn", n=args.n, verbose=False)
+        "batch-over-dcn", n=n_bfv, data_limbs=limbs, verbose=False)
     out["bfv_limb_over_dcn"] = run_multihost_bfv(
-        "limb-over-dcn", n=args.n, verbose=False)
+        "limb-over-dcn", n=n_bfv, data_limbs=limbs, verbose=False)
     if args.ckks:
         out["ckks_coeff_sharded"] = run_multihost_ckks(
-            n=args.n, verbose=False)
+            n=args.n_ckks or args.n, levels=args.levels, verbose=False)
     print("MHRESULT " + json.dumps(out), flush=True)
 
 
 def launch(nproc: int, local_devices: int = 4, n: int = 256,
-           ckks: bool = True, timeout_s: float = 900) -> List[Dict]:
+           ckks: bool = True, timeout_s: float = 900,
+           n_bfv: int = 0, n_ckks: int = 0, bfv_limbs: int = 0,
+           levels: int = 3) -> List[Dict]:
     """Spawn nproc worker processes on this machine and collect their
     reports. Returns the per-process result dicts (sorted by process id)."""
     import socket
@@ -270,7 +278,9 @@ def launch(nproc: int, local_devices: int = 4, n: int = 256,
         cmd = [sys.executable, "-m", "abc_tpu.parallel.multihost", "worker",
                "--coordinator", coordinator, "--nproc", str(nproc),
                "--process-id", str(pid),
-               "--local-devices", str(local_devices), "--n", str(n)]
+               "--local-devices", str(local_devices), "--n", str(n),
+               "--n-bfv", str(n_bfv), "--n-ckks", str(n_ckks),
+               "--bfv-limbs", str(bfv_limbs), "--levels", str(levels)]
         if ckks:
             cmd.append("--ckks")
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
@@ -307,19 +317,30 @@ def main(argv: Optional[List[str]] = None) -> None:
     w.add_argument("--process-id", type=int, required=True)
     w.add_argument("--local-devices", type=int, default=4)
     w.add_argument("--n", type=int, default=256)
+    w.add_argument("--n-bfv", type=int, default=0)
+    w.add_argument("--n-ckks", type=int, default=0)
+    w.add_argument("--bfv-limbs", type=int, default=0)
+    w.add_argument("--levels", type=int, default=3)
     w.add_argument("--ckks", action="store_true")
     ln = sub.add_parser("launch")
     ln.add_argument("--nproc", type=int, default=2)
     ln.add_argument("--local-devices", type=int, default=4)
     ln.add_argument("--n", type=int, default=256)
+    ln.add_argument("--production", action="store_true",
+                    help="BASELINE production shapes: BFV n=8192 L=8 "
+                         "dp x limb, CKKS n=32768 L=8 coeff-sharded")
     ln.add_argument("--no-ckks", action="store_true")
     args = ap.parse_args(argv)
     if args.cmd == "worker":
         _worker_main(args)
     else:
         nproc = getattr(args, "nproc", 2)
+        kw = {}
+        if getattr(args, "production", False):
+            kw = dict(n_bfv=8192, bfv_limbs=8, n_ckks=32768, levels=8,
+                      timeout_s=3600)
         results = launch(nproc, args.local_devices, args.n,
-                         ckks=not args.no_ckks)
+                         ckks=not args.no_ckks, **kw)
         print(json.dumps({"nproc": nproc, "ok": True,
                           "process0": results[0]}, indent=2))
 

@@ -56,6 +56,33 @@ def test_two_process_bfv_and_ckks():
             results[1][key]["shard_checksums"]
 
 
+@pytest.mark.slow
+def test_two_process_production_shapes():
+    """PRODUCTION shapes across 2 real processes (round-2 review item 4:
+    table construction, psum widths and per-process shard shapes all change
+    with n, so the cross-process path must see them once): BFV n=8192 with
+    L=8 data limbs on the dp x limb mesh (both DCN layouts), CKKS n=32768
+    L=8 coefficient-sharded multiply+relin. Bit-exact per-host decrypt +
+    process_allgather cross-check run inside the workers."""
+    results = launch(nproc=2, local_devices=2, n=256, ckks=True,
+                     n_bfv=8192, bfv_limbs=8, n_ckks=32768, levels=8,
+                     timeout_s=3000)
+    assert len(results) == 2
+    for r in results:
+        bd = r["bfv_batch_over_dcn"]
+        assert bd["n"] == 8192 and bd["L"] == 8
+        assert bd["ct_shards_checked_all_hosts"] == bd["batch"]
+        ld = r["bfv_limb_over_dcn"]
+        assert ld["n"] == 8192 and ld["L"] == 8
+        ck = r["ckks_coeff_sharded"]
+        assert ck["n"] == 32768 and ck["L"] == 8
+        assert ck["max_err"] < 0.05
+    # cross-process checksum agreement at production shapes
+    a, b = results
+    assert a["bfv_limb_over_dcn"]["shard_checksums"] == \
+        b["bfv_limb_over_dcn"]["shard_checksums"]
+
+
 def test_hlo_collective_stats_parses_shapes():
     txt = """
   %all-reduce.7 = u32[7,8192]{1,0} all-reduce(u32[7,8192]{1,0} %x)
