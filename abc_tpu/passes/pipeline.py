@@ -39,6 +39,10 @@ class CompiledProgram:
     ast: Block
     tcv: TypeCheckingVisitor
     input_types: Dict[str, Datatype]
+    # the vectorizer's packing report (AuxiliaryInformation), or None when
+    # batching did not run — carries input packings, result strides,
+    # zero-tail and replication contracts for the client
+    aux: object = None
 
     @property
     def secret_tainted(self) -> Dict[str, bool]:
@@ -83,9 +87,10 @@ class Compiler:
                                           opts.live_out):
                 tcv = run_type_checking(ast, input_types)
 
+        aux = None
         if opts.vectorize:
-            from abc_tpu.passes.vectorizer import run_vectorizer
-            ast = run_vectorizer(ast, input_types, tcv)
+            from abc_tpu.passes.vectorizer import run_vectorizer_with_aux
+            ast, aux = run_vectorizer_with_aux(ast, input_types, tcv)
             tcv = run_type_checking(ast, input_types)
 
         if opts.cone_rewriting:
@@ -93,7 +98,8 @@ class Compiler:
             run_cone_rewriting(ast)
             tcv = run_type_checking(ast, input_types)
 
-        return CompiledProgram(ast=ast, tcv=tcv, input_types=dict(input_types))
+        return CompiledProgram(ast=ast, tcv=tcv,
+                               input_types=dict(input_types), aux=aux)
 
 
 def compile_program(program_src: str, input_types: Dict[str, Datatype],

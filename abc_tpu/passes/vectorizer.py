@@ -384,23 +384,37 @@ class AuxiliaryInformation:
     result_stride: Dict[str, int] = field(default_factory=dict)
     # variable → first slot index that MUST be zero-padded by the client
     required_zero_tail: Dict[str, int] = field(default_factory=dict)
+    # variable → k: client must pack the k-vector REPLICATED (x‖x) so slot
+    # reads past k wrap onto the vector (the BSGS matvec contract)
+    required_replicated: Dict[str, int] = field(default_factory=dict)
     batched_statements: int = 0
 
 
 class Vectorizer:
     """Batches one straight-line Block (recursing into nested blocks)."""
 
-    def __init__(self) -> None:
+    def __init__(self, input_types=None) -> None:
         self.aux = AuxiliaryInformation()
         self._fresh = 0
+        # non-secret variable names (inputs + in-program declarations):
+        # the plain-matrix matvec specialization keys off these
+        self._plain_names = {name for name, dt in (input_types or {}).items()
+                             if not getattr(dt, "secret", False)}
 
     # --- public -----------------------------------------------------------
     def run(self, block: Block) -> None:
+        for stmt in block.iter_preorder():
+            if isinstance(stmt, VariableDeclaration) and \
+                    not stmt.datatype.secret:
+                self._plain_names.add(stmt.target.identifier)
+        self._run_blocks(block)
+
+    def _run_blocks(self, block: Block) -> None:
         for stmt in block.children():
             if isinstance(stmt, Block):
-                self.run(stmt)
+                self._run_blocks(stmt)
             elif hasattr(stmt, "body") and isinstance(getattr(stmt, "body"), Block):
-                self.run(stmt.body)
+                self._run_blocks(stmt.body)
         self._batch_block(block)
 
     # --- scanning ------------------------------------------------------------
@@ -596,6 +610,9 @@ class Vectorizer:
 
         if len(base_slots) < 2:
             # per-slot templates differ: try the structured patterns
+            # (plain-matrix BSGS first: more specific, O(√k) key switches)
+            if self._try_plain_matvec_bsgs(plan, replacement):
+                return
             if self._try_matvec_plan(plan, replacement):
                 return
             if self._try_scalar_product_plan(plan, replacement):
@@ -808,38 +825,118 @@ class Vectorizer:
             half //= 2
         return stmts
 
+    # --- plain-matrix matvec → BSGS diagonal form ------------------------------
+    def _try_plain_matvec_bsgs(self, plan: SlotPlan,
+                               replacement: List[Optional[object]]) -> bool:
+        """Specialize  c[s] = Σ_j M[k·s+j]·x[j]  when the k×k matrix M is
+        PLAIN (public input or in-program declaration) and x is secret:
+        emit the baby-step/giant-step diagonal form (crypto/linalg.py's
+        construction, made COMPILER-REACHABLE per the round-2 review):
+
+            __mvb_j__ = rotate(x, j)            j = 1..g−1   (baby steps —
+                                                 at runtime these share ONE
+                                                 key-switch decomposition
+                                                 via the transparent
+                                                 hoisting cache)
+            acc_i     = Σ_j pt_{i,j} ∘ __mvb_j__             (plain mults)
+            c         = Σ_i rotate(acc_i, g·i)               (giant steps)
+
+        with pt_{i,j}[u] = M[k·(u−g·i) + ((u+j) mod k)] for g·i ≤ u < g·i+k
+        (0 elsewhere; the diagonals are emitted as index reads of M, so the
+        matrix VALUES need not be compile-time constants — only its
+        plainness matters). Key switches: (g−1) baby (one decomposition) +
+        (⌈k/g⌉−1) giant ≈ O(√k), vs k−1 for the b-rotation form.
+
+        CLIENT CONTRACT (aux.required_replicated): x must be packed
+        REPLICATED (x‖x) so rotate(x, j) reads past slot k wrap onto the
+        vector; results are valid in slots 0..k−1 (stride 1)."""
+        parsed = self._parse_matvec_layout(plan)
+        if parsed is None:
+            return False
+        a_name, b_name, T, S, add_str, mul_str = parsed
+        k = T
+        if S != k or k < 4:                 # square + big enough for BSGS
+            return False
+        if a_name not in self._plain_names or b_name in self._plain_names:
+            return False
+        import math
+        from abc_tpu.utils.datatype import Datatype, Type
+        g = max(1, math.isqrt(k))
+        n_giant = (k + g - 1) // g
+        add_op = Operator(Op.FHE_ADD if add_str == "+++" else Op.ADD)
+        mul_op = Operator(Op.FHE_MUL if mul_str == "***" else Op.MUL)
+        target = plan.target
+        stmts: List[object] = []
+        baby_names = {0: b_name}
+        for j in range(1, g):
+            nm = f"__mvb{self._fresh}__"
+            self._fresh += 1
+            baby_names[j] = nm
+            stmts.append(VariableDeclaration(
+                Datatype(Type.INT, True), Variable(nm),
+                _rotate(Variable(b_name), j)))
+        for i in range(n_giant):
+            acc_expr = None
+            for j in range(g):
+                d = g * i + j
+                if d >= k:
+                    break
+                elems: List[object] = []
+                for u in range(g * i + k):
+                    if u < g * i:
+                        elems.append(LiteralInt(0))
+                    else:
+                        row = u - g * i
+                        col = (u + j) % k
+                        elems.append(IndexAccess(Variable(a_name),
+                                                 LiteralInt(k * row + col)))
+                elems.append(LiteralInt(0))    # encode pads with LAST → 0
+                pt = ExpressionList(elems)
+                term = BinaryExpression(Variable(baby_names[j]), mul_op, pt)
+                acc_expr = term if acc_expr is None else \
+                    BinaryExpression(acc_expr, add_op, term)
+            if acc_expr is None:
+                continue
+            if i == 0:
+                stmts.append(Assignment(Variable(target), acc_expr))
+            else:
+                nm = f"__mvg{self._fresh}__"
+                self._fresh += 1
+                stmts.append(VariableDeclaration(
+                    Datatype(Type.INT, True), Variable(nm), acc_expr))
+                stmts.append(Assignment(
+                    Variable(target),
+                    BinaryExpression(Variable(target), add_op,
+                                     _rotate(Variable(nm), g * i))))
+        self._replace(plan.statement_positions, stmts, replacement)
+        self.aux.result_stride[target] = 1
+        self.aux.valid_slots[target] = k
+        self.aux.required_replicated[b_name] = k
+        self.aux.batched_statements += len(plan.statement_positions)
+        return True
+
     # --- matvec batching (the matrixVectorTest spec) ---------------------------
-    def _try_matvec_plan(self, plan: SlotPlan,
-                         replacement: List[Optional[object]]) -> bool:
-        """Batch  c[s] = Σ_j a[T·s+j]·b[j]  (flattened row-major matrix ×
-        vector) into the reference's DISABLED_matrixVectorTest form
-        (VectorizerTest.cpp:370-423):
-
-            c = a ∘ b
-            c = c + a ∘ rotate(b, −T)        (output row 1's window)
-            …                                 (one statement per row)
-            [group rotate-reduce]             (completing the WIP spec)
-
-        REQUIRES b's slots ≥ T to be ZERO (the spec's stated assumption) —
-        recorded in aux.required_zero_tail for the client. Results land at
-        slots T·s (aux.result_stride)."""
+    def _parse_matvec_layout(self, plan: SlotPlan):
+        """Recognize  c[s] = Σ_j a[T·s+j]·b[j]  (flattened row-major matrix
+        × packed vector) in a slot plan. Returns (a_name, b_name, T, S,
+        add_str, mul_str) or None."""
         slots = sorted(plan.slots)
         S = len(slots)
         if S < 2 or slots != list(range(S)):
-            return False
+            return None
         a_name = b_name = None
         add_str = mul_str = None
         layout: Dict[int, Dict[int, int]] = {}     # slot → {j: a_abs_index}
         for s in slots:
             flat = _flatten_norm_sum(plan.slots[s])
             if flat is None:
-                return False
+                return None
             add_str, terms = flat
             parsed = []
             for t in terms:
                 pt = _parse_norm_product(t)
                 if pt is None:
-                    return False
+                    return None
                 mul_str = pt[0]
                 parsed.append(pt)
             # decide roles: B's absolute index must equal its term position
@@ -856,21 +953,41 @@ class Vectorizer:
                         a_name = a_name or next(iter(a_c))
                         b_name = b_name or next(iter(b_c))
                         if a_c != {a_name} or b_c != {b_name}:
-                            return False
+                            return None
                         layout[s] = {e[0 if flip else 1][1]:
                                      e[1 if flip else 0][1] for e in entries}
                         break
             else:
-                return False
+                return None
         T = len(layout[0])
         if any(len(m) != T for m in layout.values()):
-            return False
+            return None
         for s in slots:
             for j, a_abs in layout[s].items():
                 if a_abs != T * s + j:
-                    return False
+                    return None
         if plan.target in (a_name, b_name):
+            return None
+        return a_name, b_name, T, S, add_str, mul_str
+
+    def _try_matvec_plan(self, plan: SlotPlan,
+                         replacement: List[Optional[object]]) -> bool:
+        """Batch  c[s] = Σ_j a[T·s+j]·b[j]  (flattened row-major matrix ×
+        vector) into the reference's DISABLED_matrixVectorTest form
+        (VectorizerTest.cpp:370-423):
+
+            c = a ∘ b
+            c = c + a ∘ rotate(b, −T)        (output row 1's window)
+            …                                 (one statement per row)
+            [group rotate-reduce]             (completing the WIP spec)
+
+        REQUIRES b's slots ≥ T to be ZERO (the spec's stated assumption) —
+        recorded in aux.required_zero_tail for the client. Results land at
+        slots T·s (aux.result_stride)."""
+        parsed = self._parse_matvec_layout(plan)
+        if parsed is None:
             return False
+        a_name, b_name, T, S, add_str, mul_str = parsed
 
         add_op = Operator(Op.FHE_ADD if add_str == "+++" else Op.ADD)
         mul_op = Operator(Op.FHE_MUL if mul_str == "***" else Op.MUL)
@@ -1127,12 +1244,19 @@ def _has_varying_consts(norm_by_slot: Dict[int, tuple], slots: List[int]) -> boo
     return any(len(set(v)) > 1 for v in cols.values())
 
 
-def run_vectorizer(ast: Block, input_types=None, tcv=None) -> Block:
-    """Pipeline hook: batch the program, expanding statement groups."""
-    v = Vectorizer()
+def run_vectorizer_with_aux(ast: Block, input_types=None, tcv=None):
+    """Batch the program; returns (ast, AuxiliaryInformation) — the packing
+    report (ref: the getAuxiliaryInformation stub, Vectorizer.cpp:86-89),
+    surfaced by the pipeline as CompiledProgram.aux."""
+    v = Vectorizer(input_types)
     v.run(ast)
     _expand_groups(ast)
-    return ast
+    return ast, v.aux
+
+
+def run_vectorizer(ast: Block, input_types=None, tcv=None) -> Block:
+    """Pipeline hook: batch the program, expanding statement groups."""
+    return run_vectorizer_with_aux(ast, input_types, tcv)[0]
 
 
 def _expand_groups(block: Block) -> None:

@@ -421,3 +421,71 @@ def test_batchable_expression_vectorizable_executes_on_dummy():
                 g("i") * g("j") + g("k") * g("l")]
     got = [int(res[2 * s]) for s in range(3)]   # stride Kp=2
     assert got == expected, (got, expected)
+
+
+# ------------------------------------------- plain-matrix BSGS matvec
+
+def test_plain_matvec_bsgs_emission_and_counts():
+    """Round-2 review item 6: a MatrixVectorProduct-style DSL program with a
+    PUBLIC (plain) matrix compiles to the baby-step/giant-step diagonal
+    form — O(√k) key switches instead of the b-rotation form's k−1
+    (ref spec: Vectorizer.h:60-98 rotation re-use,
+    DISABLED_matrixVectorTest). Checked end to end on the BFV backend with
+    the context's galois/decompose counters."""
+    import numpy as np
+    from abc_tpu.passes.pipeline import (CompileOptions, Compiler,
+                                         input_types_from_ast, run_compiled)
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+
+    k = 16
+    rng = np.random.default_rng(3)
+    M = rng.integers(0, 9, size=(k, k))
+    x = list(rng.integers(0, 5, size=k))
+    flat = [int(v) for v in M.reshape(-1)]
+    inputs_src = ("int M = {" + ",".join(map(str, flat)) + "};"
+                  " secret int x = {" +
+                  ",".join(str(int(v)) for v in x + x) + "};")  # REPLICATED
+    terms = " + ".join(f"M[16*s+{j}]*x[{j}]" for j in range(k))
+    prog = f"""
+      int y = 0;
+      for (int s = 0; s < {k}; s = s + 1) {{
+        y[s] = {terms};
+      }}
+      return y;
+    """
+    inputs = Parser.parse(inputs_src)
+    compiled = Compiler(CompileOptions(vectorize=True)).compile_source(
+        prog, input_types_from_ast(inputs))
+    text = str(compiled.ast)
+    # BSGS shape: g−1 = 3 baby rotations of x, 3 giant rotations
+    assert text.count("rotate(x,") == 3
+    assert "__mvg" in text
+    # client contract surfaced in the packing report
+    assert compiled.aux.required_replicated == {"x": k}
+
+    factory = BfvCiphertextFactory(slots=1024, engine="np64", seed=5)
+    ctx = factory.context
+    rv, outputs = run_compiled(compiled, inputs, Parser.parse("out = y;"),
+                               factory)
+    got = factory.decrypt(outputs[0][1])[:k]
+    want = [int(sum(M[s][j] * x[j] for j in range(k))) for s in range(k)]
+    assert got == want
+    # O(√k): 3 baby + 3 giant = 6 galois key switches (vs 15 for the
+    # b-rotation form), 4 decompositions (x hoisted across its 3 babies)
+    assert ctx.counters["galois"] == 6
+    assert ctx.counters["decomp"] == 4
+    assert ctx.counters["decomp_hit"] == 2
+
+
+def test_plain_matvec_bsgs_requires_plain_matrix():
+    """A SECRET matrix must keep the b-rotation form (the diagonal method
+    needs plaintext diagonals)."""
+    src = """
+      c[0] = a[0]*b[0] + a[1]*b[1] + a[2]*b[2] + a[3]*b[3];
+      c[1] = a[4]*b[0] + a[5]*b[1] + a[6]*b[2] + a[7]*b[3];
+      c[2] = a[8]*b[0] + a[9]*b[1] + a[10]*b[2] + a[11]*b[3];
+      c[3] = a[12]*b[0] + a[13]*b[1] + a[14]*b[2] + a[15]*b[3];
+    """
+    out = vectorize_str(src)     # no declarations → a is not provably plain
+    assert "__mvg" not in out
+    assert "rotate(b, -4)" in out    # the b-rotation (secret-matrix) form
