@@ -91,3 +91,108 @@ def test_cardio_batched_encrypted_bfv_n16384():
     c = factory.context.counters
     assert c["galois"] >= 4          # log2(16) rotate-reduce steps
     assert c["mult"] == 0            # additive workload: no ct*ct multiplies
+
+
+def _jit_run(inputs_src, program_src, out_src, slots=8192, options=None):
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    from abc_tpu.runtime.jit_executor import jit_compile_program
+    factory = BfvCiphertextFactory(slots=slots, engine="jx32", seed=31)
+    jp = jit_compile_program(program_src, inputs_src, out_src, factory,
+                             options)
+    return factory, jp.run()
+
+
+@pytest.mark.slow
+def test_hamming_encrypted_jit_n8192():
+    """Hamming distance over 16 packed bits, compiled by the batcher to one
+    SIMD expression + log-depth rotate-reduce, run as ONE XLA executable at
+    n=8192 (ref workload: HammingDistanceTest.cpp; round-2 review item 7)."""
+    from abc_tpu.passes.pipeline import CompileOptions
+
+    import random
+    rng = random.Random(5)
+    xs = [rng.randrange(2) for _ in range(16)]
+    ys = [rng.randrange(2) for _ in range(16)]
+    inputs = ("secret int x = {" + ",".join(map(str, xs)) + "};"
+              " secret int y = {" + ",".join(map(str, ys)) + "};")
+    program = """
+      int sum = 0;
+      for (int i = 0; i < 16; i = i + 1) {
+        sum = sum + (x[i]-y[i])*(x[i]-y[i]);
+      }
+      return sum;
+    """
+    factory, out = _jit_run(inputs, program, "hd = sum;",
+                            options=CompileOptions(vectorize=True))
+    assert out["hd"][0] == sum(int(a != b) for a, b in zip(xs, ys))
+
+
+@pytest.mark.slow
+def test_boxblur_encrypted_jit_n8192():
+    """8x8 box blur on a SECRET image (the reference's BoxBlurTest kernel,
+    BoxBlurTest.cpp:21-60 naiveBoxBlur oracle), whole-program JIT at
+    n=8192: secret index reads become slot rotations, interior writes
+    become masked updates."""
+    import random
+    size = 8
+    rng = random.Random(11)
+    img = [rng.randrange(0, 256) for _ in range(size * size)]
+    inputs = ("secret int img = {" + ",".join(map(str, img)) + "};"
+              f" int imgSize = {size};")
+    program = """
+      int weightMatrix = {1, 1, 1, 1, 1, 1, 1, 1, 1};
+      secret int img2 = img;
+      for (int x = 1; x < imgSize-1; x = x + 1) {
+        for (int y = 1; y < imgSize-1; y = y + 1) {
+          secret int value = 0;
+          for (int j = -1; j < 2; j = j + 1) {
+            for (int i = -1; i < 2; i = i + 1) {
+              value = value + weightMatrix[(i + 1)*3 + j + 1]
+                  *img[((x + i)*imgSize + (y + j))];
+            }
+          }
+          img2[imgSize*x + y] = value;
+        }
+      }
+      return img2;
+    """
+    factory, out = _jit_run(inputs, program, "out = img2;")
+    got = out["out"][:size * size]
+    want = list(img)
+    for x in range(1, size - 1):
+        for y in range(1, size - 1):
+            want[x * size + y] = sum(
+                img[(x + i) * size + (y + j)]
+                for j in range(-1, 2) for i in range(-1, 2))
+    assert got == want
+
+
+@pytest.mark.slow
+def test_matvec_bsgs_encrypted_jit_n8192():
+    """Plain-matrix matvec (the reference's MatrixVectorProduct workload
+    family with a PUBLIC matrix) at n=8192 through the whole-program JIT:
+    the vectorizer emits the BSGS diagonal form (O(sqrt k) key switches),
+    oracle-checked after decryption."""
+    import numpy as np
+    from abc_tpu.passes.pipeline import CompileOptions
+
+    k = 16
+    rng = np.random.default_rng(17)
+    M = rng.integers(0, 9, size=(k, k))
+    x = [int(v) for v in rng.integers(0, 5, size=k)]
+    flat = [int(v) for v in M.reshape(-1)]
+    inputs = ("int M = {" + ",".join(map(str, flat)) + "};"
+              " secret int x = {" + ",".join(map(str, x + x)) + "};")
+    terms = " + ".join(f"M[16*s+{j}]*x[{j}]" for j in range(k))
+    program = f"""
+      int y = 0;
+      for (int s = 0; s < {k}; s = s + 1) {{
+        y[s] = {terms};
+      }}
+      return y;
+    """
+    factory, out = _jit_run(inputs, program, "out = y;",
+                            options=CompileOptions(vectorize=True))
+    got = out["out"][:k]
+    want = [int(sum(M[s][j] * x[j] for j in range(k))) for s in range(k)]
+    assert got == want
