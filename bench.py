@@ -52,8 +52,9 @@ CHAIN_NTT = 512    # dependent forward transforms chained per call
 CHAIN_NTT_CPU = 8
 REPEATS = 3        # timed calls
 TPU_TIMEOUT_S = 1500   # first-time jit compile on TPU can take minutes
-SUITE_TIMEOUT_S = 2400  # config 6 (whole-program laplace e2e) adds a
-                        # multi-minute XLA compile on the tunneled TPU
+SUITE_TIMEOUT_S = 4800  # config 6 (whole-program laplace e2e) adds TWO
+                        # multi-minute XLA compiles on the tunneled TPU
+                        # (warmup pass + measured steady-state pass)
 
 _WORKER = r"""
 import json, sys, time
