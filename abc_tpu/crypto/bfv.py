@@ -207,7 +207,6 @@ class BfvContext:
         self._prng_seed = params.seed if params.seed is not None else \
             int(np.random.default_rng().integers(0, 2 ** 63))
         self._enc_counter = 0
-        self._jit_cache: Dict = {}
         self._keygen()
         self.relin_key: Optional[Tuple] = None
         self.galois_keys: Dict[int, Tuple] = {}
@@ -304,21 +303,6 @@ class BfvContext:
     # transfers (the round-2 bench lost ~10 s to them, BENCH_r02 config6
     # t_input_encryption) into ~0.1 MB. Everything stays bit-identical to
     # the np64 host path (tests/test_prng.py, test_bfv.py).
-
-    def _jit(self, name: str, fn):
-        if name not in self._jit_cache:
-            import jax
-            self._jit_cache[name] = jax.jit(fn)
-        return self._jit_cache[name]
-
-    def _lift_signed_dev(self, v_i32, num_limbs: int):
-        """[..., n] int32 signed coeffs → [..., L', n] uint32 residues
-        (device). Two's-complement wrap makes q + v ≡ q − |v| (mod 2^32)."""
-        import jax.numpy as jnp
-        q = self._tab["q_full"][:num_limbs]               # [L', 1]
-        v_u = v_i32.astype(jnp.uint32)[..., None, :]
-        neg = (v_i32 < 0)[..., None, :]
-        return jnp.where(neg, q + v_u, v_u)
 
     def _keygen_device(self, e_pk: np.ndarray) -> None:
         """Device copies of (s_ntt_full, pk) — host np64 keygen is ~3 ms, so
