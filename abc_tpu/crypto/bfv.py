@@ -766,19 +766,25 @@ class BfvContext:
         half of SEAL's transform_to_ntt, applied TRANSPARENTLY (same
         pattern as _decompose_cached for rotations). Each hit skips
         2·(2L+2) NTT rows + the Bsk lift."""
+        from abc_tpu.utils.tracing import trace_token
         cache = getattr(self, "_op_cache", None)
         if cache is None:
             from collections import OrderedDict
             cache = self._op_cache = OrderedDict()
+        tok = trace_token()
         key = id(ct_data)
         hit = cache.get(key)
-        if hit is not None and hit[0] is ct_data:
+        # the trace-token check prevents serving a value computed in one
+        # trace to another: a CONCRETE ciphertext (closure constant) used
+        # in two separately-jitted programs keeps its id, but the cached
+        # NTT forms from trace A are tracers that must not leak into B
+        if hit is not None and hit[0] is ct_data and hit[2] == tok:
             cache.move_to_end(key)
             self.counters["op_ntt_hit"] += 1
             return hit[1]
         self.counters["op_ntt"] += 1
         pre = self._get_behz().precompute_operand(ct_data)
-        cache[key] = (ct_data, pre)
+        cache[key] = (ct_data, pre, tok)
         while len(cache) > 8:
             cache.popitem(last=False)
         return pre
@@ -929,19 +935,21 @@ class BfvContext:
         hoisted_rotations API. Identity is verified with `is` (ids recycle);
         entries are capped; tracer entries from finished traces can never
         false-hit (a later trace's tracers are different objects)."""
+        from abc_tpu.utils.tracing import trace_token
         cache = getattr(self, "_dec_cache", None)
         if cache is None:
             from collections import OrderedDict
             cache = self._dec_cache = OrderedDict()
+        tok = trace_token()   # entries from one trace must not serve another
         key = id(ct_data)
         hit = cache.get(key)
-        if hit is not None and hit[0] is ct_data:
+        if hit is not None and hit[0] is ct_data and hit[2] == tok:
             cache.move_to_end(key)
             self.counters["decomp_hit"] += 1
             return hit[1]
         self.counters["decomp"] += 1
         D = self._decompose_ntt(ct_data[1])
-        cache[key] = (ct_data, D)
+        cache[key] = (ct_data, D, tok)
         while len(cache) > 8:
             cache.popitem(last=False)
         return D

@@ -703,19 +703,22 @@ class CkksContext:
         rotations of the SAME ciphertext share the forward NTTs (same
         transparent hoisting as BfvContext._decompose_cached; level is part
         of the validity check since the decomposition shape depends on it)."""
+        from abc_tpu.utils.tracing import trace_token
         cache = getattr(self, "_dec_cache", None)
         if cache is None:
             from collections import OrderedDict
             cache = self._dec_cache = OrderedDict()
-        key = id(ct_data)
+        tok = trace_token()   # see BfvContext._decompose_cached: entries
+        key = id(ct_data)     # from one trace must not serve another
         hit = cache.get(key)
-        if hit is not None and hit[0] is ct_data and hit[1] == level:
+        if hit is not None and hit[0] is ct_data and hit[1] == level \
+                and hit[3] == tok:
             cache.move_to_end(key)
             self.counters["decomp_hit"] += 1
             return hit[2]
         self.counters["decomp"] += 1
         D = self._decompose_ntt(ct_data[1], level)
-        cache[key] = (ct_data, level, D)
+        cache[key] = (ct_data, level, D, tok)
         while len(cache) > 8:
             cache.popitem(last=False)
         return D

@@ -29,3 +29,20 @@ def trace_state_clean() -> bool:
         return not isinstance(jnp.asarray(np.zeros(1)), _core.Tracer)
     except Exception:
         return False  # unknown → never cache (safe)
+
+
+def trace_token():
+    """An opaque token identifying the CURRENT trace context (concrete
+    execution included). Identity-keyed caches whose values may be tracers
+    must compare this token at hit time: an entry created inside trace A
+    served to trace B (or to eager code) is a leaked tracer — e.g. the
+    operand-NTT cache keyed on a closure-constant ciphertext that two
+    separately-jitted chains both multiply by (found by the two-point
+    bench timing, which traces every chain twice)."""
+    try:
+        from jax._src import core as _core
+        return _core.get_opaque_trace_state()
+    except Exception:
+        # API unavailable: distinguish only eager-vs-traced (entries cached
+        # while tracing will never be served again once the probe differs)
+        return "eager" if trace_state_clean() else object()
