@@ -299,3 +299,18 @@ def test_hybrid_ks_decompose_row_count():
     D = ctx._decompose_ntt(d)
     assert D.shape == (ctx.params.num_ks_digits, L + 2, 1024)
     assert ctx.params.num_ks_digits * (L + 2) < L * (L + 1)
+
+
+def test_encrypt_many_batched_bit_exact_vs_np64():
+    """encrypt_many pads the device batch to 16 with ZERO samples (no rng
+    draws for padding lanes), so a jx32 batch of 3 must equal three np64
+    single encrypts bit-for-bit — same seed, same draw order."""
+    c_np = BfvContext(BfvParams.create(1024, seed=77, engine="np64"))
+    c_jx = BfvContext(BfvParams.create(1024, seed=77, engine="jx32"))
+    pts = [[1, 2, 3], [4, 5], [6]]
+    want = [c_np.encrypt(c_np.encode(v)) for v in pts]
+    got = c_jx.encrypt_many([c_jx.encode(v) for v in pts])
+    for w, g in zip(want, got):
+        assert np.array_equal(w.data, np.asarray(g.data))
+    # and decrypt round-trips on the device path
+    assert c_jx.decode(c_jx.decrypt(got[0]))[:3] == [1, 2, 3]

@@ -101,3 +101,24 @@ def test_jitted_ckks_program():
     expected = [2.0 * 0.25, -0.5 * 4.0]   # rotated left by 1
     for g, e in zip(out, expected):
         assert abs(g - e) <= 1e-2, (out[:2], expected)
+
+
+def test_census_missing_key_falls_back_to_in_trace_build(monkeypatch):
+    """If the dummy-run key census under-approximates (it should not, but
+    robustness matters), the real trace builds the missing key in-trace —
+    correct, just uncached. Simulated by forcing the census to drop all
+    galois keys."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    from abc_tpu.runtime.jit_executor import JittedProgram, \
+        jit_compile_program
+
+    monkeypatch.setattr(
+        JittedProgram, "_census_key_ids",
+        lambda self, compiled, i, o: {"relin"})   # drops the rotate key
+    factory = BfvCiphertextFactory(slots=1024, engine="jx32", seed=21)
+    jp = jit_compile_program(
+        "secret int y = rotate(x, 1); return y;",
+        "secret int x = {10, 20, 30};", "out = y;", factory)
+    assert jp.run()["out"][:2] == [20, 30]
