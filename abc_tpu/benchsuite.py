@@ -355,10 +355,12 @@ CONFIGS = {
 
 # shorter chains for the driver-run bench artifact (bench.py default mode):
 # enough to amortize dispatch, small enough to keep the whole suite < ~5 min
+# chains sized so the two-point difference dwarfs per-dispatch jitter
+# (~22 ms fixed + a few ms noise): diff = (chain/2) x per-op must be >= ~100 ms
 _FAST_KW = {
-    2: {"chain": 512},
-    3: {"chain": 128},
-    5: {"chain": 64},
+    2: {"chain": 1024},
+    3: {"chain": 512},
+    5: {"chain": 256},
 }
 
 

@@ -48,7 +48,10 @@ N_NTT = 16384
 CHAIN = 512        # dependent mult+relin ops chained per jitted call (TPU)
 BATCH = 8          # independent chains vmapped together ("batched" metric)
 CHAIN_CPU = 4      # the jx32-on-CPU fallback is ~100x slower per op
-CHAIN_NTT = 512    # dependent forward transforms chained per call
+CHAIN_NTT = 2048   # dependent forward transforms chained per call — long
+                   # enough that the two-point difference (~32 ms at 31 us/
+                   # fwd) dwarfs the tunnel's per-dispatch jitter (two-point
+                   # estimates at chain 512 varied 42-53 Gbf/s run to run)
 CHAIN_NTT_CPU = 8
 REPEATS = 3        # timed calls
 TPU_TIMEOUT_S = 1500   # first-time jit compile on TPU can take minutes
