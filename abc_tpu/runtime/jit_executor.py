@@ -189,9 +189,17 @@ class JittedProgram:
         from abc_tpu.runtime.dummy import DummyCiphertext, \
             DummyCiphertextFactory
 
-        if not isinstance(self.factory, BfvCiphertextFactory):
-            return None   # step→galois-element map below is BFV-specific
-        n2 = self.factory.slot_count          # n = slot_count for BFV
+        try:
+            from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+        except Exception:                      # pragma: no cover
+            CkksCiphertextFactory = ()
+        if not isinstance(self.factory,
+                          (BfvCiphertextFactory, CkksCiphertextFactory)):
+            return None   # unknown backend: use the eval_shape recording
+        # both schemes map rotate(steps) → galois element 3^(steps mod n/2)
+        # mod 2n over the RING degree n (BfvContext.rotate_rows,
+        # CkksContext.rotate)
+        ring_n = self.factory.params.n
         census = {"rot": set(), "mult": False}
 
         class _Ct(DummyCiphertext):
@@ -207,7 +215,7 @@ class JittedProgram:
             handle_cls = _Ct
 
         try:
-            shadow = _Factory(slots=n2)
+            shadow = _Factory(slots=self.factory.slot_count)
             rv = RuntimeVisitor(shadow, Block([]), compiled.secret_tainted)
             for name, dt, ctext in self._plain_entries:
                 rv.globals.declare(name, dt, ctext)
@@ -221,11 +229,11 @@ class JittedProgram:
         except Exception:
             return None
         requests = set()
-        half = n2 // 2
+        half = ring_n // 2
         for steps in census["rot"]:
             s = steps % half
             if s:
-                requests.add(f"galois_{pow(3, s, 2 * n2)}")
+                requests.add(f"galois_{pow(3, s, 2 * ring_n)}")
         if census["mult"]:
             requests.add("relin")
         return requests

@@ -122,3 +122,37 @@ def test_census_missing_key_falls_back_to_in_trace_build(monkeypatch):
         "secret int y = rotate(x, 1); return y;",
         "secret int x = {10, 20, 30};", "out = y;", factory)
     assert jp.run()["out"][:2] == [20, 30]
+
+
+def test_ckks_census_discovers_keys():
+    """The dummy-run key census serves CKKS too (both schemes map
+    rotate(steps) to galois element 3^(steps mod n/2) mod 2n over the ring
+    degree): a CKKS program with one multiply + one rotation discovers
+    exactly {relin, galois_3} without the expensive eval_shape pass."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+    from abc_tpu.runtime.jit_executor import JittedProgram, \
+        jit_compile_program
+
+    seen = {}
+    orig = JittedProgram._census_key_ids
+
+    def spy(self, *a):
+        r = orig(self, *a)
+        seen["census"] = r
+        return r
+
+    JittedProgram._census_key_ids = spy
+    try:
+        fac = CkksCiphertextFactory(n=512, levels=3, engine="jx32", seed=3)
+        jp = jit_compile_program(
+            "secret double p = a *** b; p = rotate(p, 1);",
+            "secret double a = {3.0, 1.0, 4.0};"
+            " secret double b = {2.0, 7.0, 1.0};",
+            "y = p;", fac)
+        out = jp.run()["y"][:2]
+    finally:
+        JittedProgram._census_key_ids = orig
+    assert seen["census"] == {"relin", f"galois_{pow(3, 1, 2 * 512)}"}
+    assert abs(out[0] - 7.0) < 0.1 and abs(out[1] - 4.0) < 0.1
