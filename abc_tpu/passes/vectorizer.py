@@ -855,7 +855,11 @@ class Vectorizer:
             return False
         a_name, b_name, T, S, add_str, mul_str = parsed
         k = T
-        if S != k or k < 4:                 # square + big enough for BSGS
+        # square, big enough for BSGS to win, small enough that the emitted
+        # diagonal ExpressionLists (~k elements × ~2√k lists) stay a
+        # reasonable AST; full-slot sizes use the library path
+        # (crypto/linalg.matvec_bsgs)
+        if S != k or k < 4 or k > 256:
             return False
         if a_name not in self._plain_names or b_name in self._plain_names:
             return False
