@@ -11,7 +11,7 @@ Docker/run_all.sh:13-20).
 Usage:
     python -m abc_tpu <benchmark> <output.csv> [--backend dummy|bfv]
                                                [--slots N] [--runs K]
-Benchmarks: cardio | hamming | boxblur | dotproduct | l2distance
+Benchmarks: cardio | hamming | boxblur | dotproduct | l2distance | matvec
 """
 
 from __future__ import annotations
@@ -100,6 +100,23 @@ def _workload(name: str) -> Tuple[str, str, str, CompileOptions]:
           return img2;
         """
         return inputs, program, "img2 = img2;", CompileOptions()
+    if name == "matvec":
+        # plain 8x8 matrix x secret packed vector: the vectorizer emits the
+        # baby-step/giant-step diagonal form (O(sqrt k) key switches); the
+        # client packs x REPLICATED per CompiledProgram.aux
+        k = 8
+        m_vals = [((i * 5 + j * 3) % 7) + 1 for i in range(k)
+                  for j in range(k)]
+        x_vals = [(i % 5) + 1 for i in range(k)]
+        inputs = ("int M = {" + ",".join(map(str, m_vals)) + "};"
+                  " secret int x = {" +
+                  ",".join(map(str, x_vals + x_vals)) + "};")
+        terms = " + ".join(f"M[{k}*s+{j}]*x[{j}]" for j in range(k))
+        program = (
+            "int y = 0;"
+            f"for (int s = 0; s < {k}; s = s + 1) {{ y[s] = {terms}; }}"
+            "return y;")
+        return inputs, program, "y = y;", CompileOptions(vectorize=True)
     raise SystemExit(f"unknown benchmark {name!r}; see --help")
 
 
@@ -160,7 +177,7 @@ def main(argv=None) -> int:
                                              "(ast_demo equivalent)")
     ap.add_argument("benchmark",
                     choices=["cardio", "hamming", "boxblur", "dotproduct",
-                             "l2distance"])
+                             "l2distance", "matvec"])
     ap.add_argument("output", help="CSV output path ('-' for stdout)")
     ap.add_argument("--backend", default="dummy", choices=["dummy", "bfv"])
     ap.add_argument("--slots", type=int, default=1024)
