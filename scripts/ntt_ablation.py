@@ -111,6 +111,15 @@ def _ablate_kernel(n, G, mode, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
             elif mode == "muls_only":
                 wv = _stage_mul(n, s, xr, pw, psh, lw, lsh, q)
                 x = xr + wv
+            elif mode == "reformed":
+                # multiply EVERYWHERE by the own-position stage twiddle
+                # (block-constant within 2t, so m[p+t] is the u-side's
+                # needed product): one select fewer per stage than `full`
+                is_u = _is_u_mask(n, t)
+                m_all = _stage_mul(n, s, xr, pw, psh, lw, lsh, q)
+                pm = _roll(m_all, -1, t)
+                px = _roll(xr, 1, t)
+                x = jnp.where(is_u, xr + pm, px + (two_q - m_all))
             else:  # full
                 is_u = _is_u_mask(n, t)
                 hi = _roll(xr, -1, t)
@@ -233,7 +242,8 @@ def main():
             return f
         return make
 
-    for mode in ["zero", "masks_only", "rolls_only", "muls_only", "full"]:
+    for mode in ["zero", "masks_only", "rolls_only", "muls_only", "full",
+                 "reformed"]:
         t, fixed = timed_per_iter(chain_f(mode), x0, chain)
         out[mode] = {"us_per_fwd": round(t * 1e6, 2),
                      "fixed_dispatch_ms": round(fixed * 1e3, 2),
