@@ -302,8 +302,8 @@ def config6_laplace_n16384_e2e() -> Dict:
         raw = jp.run_raw(jp.secret_inputs)
         jax.block_until_ready(raw)
         decs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        for _ in range(7):   # decrypt is ~2 tunnel RTTs; RTT jitter makes
+            t0 = time.perf_counter()          # a min-of-3 swing 31-42 ms
             jp.decrypt_outputs(raw)
             decs.append(time.perf_counter() - t0)
         t_dec = min(decs) * 1e3

@@ -196,3 +196,66 @@ def test_matvec_bsgs_encrypted_jit_n8192():
     got = out["out"][:k]
     want = [int(sum(M[s][j] * x[j] for j in range(k))) for s in range(k)]
     assert got == want
+
+
+@pytest.mark.slow
+def test_roberts_cross_encrypted_jit_n8192():
+    """Roberts cross on a SECRET 8x8 image (ref workload family:
+    RobertsCrossTest.cpp — two diagonal gradients, g1²+g2², sqrt omitted),
+    whole-program JIT at n=8192: ct·ct squares flow through lazy
+    relinearization."""
+    import random
+    size = 8
+    rng = random.Random(13)
+    img = [rng.randrange(0, 16) for _ in range(size * size)]
+    want = list(img)
+    for x in range(size - 1):
+        for y in range(size - 1):
+            g1 = img[x * size + y] - img[(x + 1) * size + (y + 1)]
+            g2 = img[(x + 1) * size + y] - img[x * size + (y + 1)]
+            want[x * size + y] = g1 * g1 + g2 * g2
+    inputs = ("secret int img = {" + ",".join(map(str, img)) + "};"
+              f" int imgSize = {size};")
+    program = """
+      secret int img2 = img;
+      for (int x = 0; x < imgSize-1; x = x + 1) {
+        for (int y = 0; y < imgSize-1; y = y + 1) {
+          secret int g1 = img[x*imgSize+y] - img[(x+1)*imgSize+(y+1)];
+          secret int g2 = img[(x+1)*imgSize+y] - img[x*imgSize+(y+1)];
+          img2[x*imgSize+y] = g1*g1 + g2*g2;
+        }
+      }
+      return img2;
+    """
+    factory, out = _jit_run(inputs, program, "out = img2;")
+    assert out["out"][:size * size] == want
+
+
+@pytest.mark.slow
+def test_linear_and_polynomial_kernel_encrypted_jit_n8192():
+    """Linear kernel <x,y>+c and polynomial kernel (<x,y>+c)² on encrypted
+    vectors (ref workload family: LinearKernelTest.cpp /
+    PolynomialKernelTest.cpp), batched by the vectorizer to one SIMD
+    expression + rotate-reduce, whole-program JIT at n=8192."""
+    from abc_tpu.passes.pipeline import CompileOptions
+
+    x = [2, -1, 3, 0]
+    y = [5, 4, -2, 1]
+    c = 7
+    dot = sum(a * b for a, b in zip(x, y))
+    inputs = (f"secret int x = {{{','.join(map(str, x))}}};"
+              f" secret int y = {{{','.join(map(str, y))}}};"
+              " int n = 4; int c = 7;")
+    lin = """
+      int sum = 0;
+      for (int i = 0; i < n; i = i + 1) { sum = sum + x[i]*y[i]; }
+      sum = sum + c;
+      return sum;
+    """
+    factory, out = _jit_run(inputs, lin, "k = sum;",
+                            options=CompileOptions(vectorize=True))
+    assert out["k"][0] == dot + c
+    poly = lin.replace("return sum;", "sum = sum * sum;\n      return sum;")
+    factory, out = _jit_run(inputs, poly, "k = sum;",
+                            options=CompileOptions(vectorize=True))
+    assert out["k"][0] == (dot + c) ** 2
