@@ -631,19 +631,18 @@ class BfvContext:
         ntt = self.ntt_q
         data = ct.data if not isinstance(ct.data, np.ndarray) \
             else jnp.asarray(ct.data)
-        m, flag, v = _dec_jit(self.params.plain_modulus, self._dec_mu_t)(
+        packed, v = _dec_jit(self.params.plain_modulus, self._dec_mu_t)(
             data, self._dev_s_ntt_full[:self.params.L], self.q_q, self.mu_q,
             self._tab["dec_qinv"], self._tab["dec_qinv_sh"],
             self._tab["dec_f_hi"], self._tab["dec_f_lo"],
             ntt.fwd_tw, ntt.fwd_tw_sh, ntt.inv_tw, ntt.inv_tw_sh,
             ntt.n_inv, ntt.n_inv_sh)
-        # ONE host pull for (m, flag) — separate np.asarray calls each pay
-        # a full device round trip on the tunneled TPU; v stays on device
-        # unless the boundary flag forces the exact fallback
-        m_host, flag_host = jax.device_get((m, flag))
-        if bool(flag_host):           # noise at capacity: exact bigints
+        # ONE host pull of ONE buffer (coefficients ‖ boundary flag); v
+        # stays on device unless the flag forces the exact fallback
+        host = jax.device_get(packed)
+        if bool(host[-1]):            # noise at capacity: exact bigints
             return self._decrypt_exact(np.asarray(v))[0]
-        return Plaintext(m_host)
+        return Plaintext(host[:-1])
 
     def _dot_secret(self, ct: BfvCiphertext) -> np.ndarray:
         """v = Σ_k c_k·s^k mod q, [L, n] coefficient-domain residues
@@ -1168,7 +1167,12 @@ def _dec_jit(t: int, mu_t: int):
             m = reduce_t(msum + (F >= half).astype(jnp.uint32), e)
             dist = jnp.where(F >= half, F - half, half - F)
             at_boundary = jnp.any(dist < jnp.uint32(4096))
-            return m, at_boundary, v
+            # ONE output buffer for the host pull (coefficients + flag):
+            # separate buffers cost separate fetch round trips over the
+            # tunneled TPU
+            packed = jnp.concatenate([m, at_boundary.astype(jnp.uint32)
+                                      .reshape(1)])
+            return packed, v
         return dec
     return _mjit(("dec", t), make)
 

@@ -259,3 +259,42 @@ def test_linear_and_polynomial_kernel_encrypted_jit_n8192():
     factory, out = _jit_run(inputs, poly, "k = sum;",
                             options=CompileOptions(vectorize=True))
     assert out["k"][0] == (dot + c) ** 2
+
+
+@pytest.mark.slow
+def test_gx_kernel_encrypted_jit_n8192():
+    """Sobel Gx on a SECRET 8x8 image (ref workload family:
+    GxKernelTest.cpp; Gy is the transposed stencil through identical
+    machinery), whole-program JIT at n=8192."""
+    import random
+    size = 8
+    rng = random.Random(29)
+    img = [rng.randrange(0, 64) for _ in range(size * size)]
+    weights = [-1, 0, 1, -2, 0, 2, -1, 0, 1]     # row-major 3x3 Gx
+    inputs = ("secret int img = {" + ",".join(map(str, img)) + "};"
+              f" int imgSize = {size};")
+    program = """
+      int w = {-1, 0, 1, -2, 0, 2, -1, 0, 1};
+      secret int img2 = img;
+      for (int x = 1; x < imgSize-1; x = x + 1) {
+        for (int y = 1; y < imgSize-1; y = y + 1) {
+          secret int value = 0;
+          for (int j = -1; j < 2; j = j + 1) {
+            for (int i = -1; i < 2; i = i + 1) {
+              value = value + w[(i + 1)*3 + j + 1]
+                  *img[((x + i)*imgSize + (y + j))];
+            }
+          }
+          img2[imgSize*x + y] = value;
+        }
+      }
+      return img2;
+    """
+    factory, out = _jit_run(inputs, program, "out = img2;")
+    want = list(img)
+    for x in range(1, size - 1):
+        for y in range(1, size - 1):
+            want[x * size + y] = sum(
+                weights[(i + 1) * 3 + (j + 1)] * img[(x + i) * size + (y + j)]
+                for j in range(-1, 2) for i in range(-1, 2))
+    assert out["out"][:size * size] == want
