@@ -862,12 +862,13 @@ class BfvContext:
         cache = getattr(self, "_ksk_dev_cache", None)
         if cache is None:
             cache = self._ksk_dev_cache = {}
-        if ck in cache:
-            return cache[ck]
+        hit = cache.get(ck)
+        if hit is not None and hit[0] is ksk_b:   # ids recycle: verify
+            return hit[1]
         dev = (self._dev(ksk_b), self._dev(ksk_a))
         from abc_tpu.utils.tracing import trace_state_clean
         if trace_state_clean():            # in-trace values are tracers
-            cache[ck] = dev
+            cache[ck] = (ksk_b, dev)
         return dev
 
     def _key_switch(self, d, ksk) -> Tuple:

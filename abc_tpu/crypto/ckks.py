@@ -581,14 +581,15 @@ class CkksContext:
         cache = getattr(self, "_ksk_dev_cache", None)
         if cache is None:
             cache = self._ksk_dev_cache = {}
-        if ck in cache:
-            return cache[ck]
+        hit = cache.get(ck)
+        if hit is not None and hit[0] is ksk_b_full:   # ids recycle: verify
+            return hit[1]
         alpha = self._alpha_at(level)
         dev = (self._dev(ksk_b_full[:alpha][:, cols_idx]),
                self._dev(ksk_a_full[:alpha][:, cols_idx]))
         from abc_tpu.utils.tracing import trace_state_clean
         if trace_state_clean():            # in-trace values are tracers
-            cache[ck] = dev
+            cache[ck] = (ksk_b_full, dev)
         return dev
 
     def _ks_cols(self, level: int) -> np.ndarray:

@@ -138,8 +138,15 @@ def get_tables(ctx) -> Tuple:
 
     Returns (fwd_packed_w, fwd_packed_sh, fwd_planes_w, fwd_planes_sh,
              inv_packed_w, inv_packed_sh, inv_planes_w, inv_planes_sh,
-             ninv [L,1], ninv_sh [L,1])."""
-    key = id(ctx)
+             ninv [L,1], ninv_sh [L,1]).
+
+    Keyed by CONTENT (n, moduli) — the tables are a deterministic function
+    of those, so equal-parameter contexts share one build. An id(ctx) key
+    (as before round 3) is unsound: a collected context's id can be
+    recycled by a NEW context of a different size, silently serving stale
+    tables (surfaced as a reshape error when the n=8192 suite context was
+    freed before the n=16384 one was built)."""
+    key = (ctx.n, tuple(ctx.moduli))
     if key not in _TABLE_CACHE:
         n = ctx.n
         # host_tables avoids a device→host read of jnp tables (the axon

@@ -80,3 +80,29 @@ def test_batched_rows():
                             interpret=True)
     want = ctx.fwd(jnp.asarray(a))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_table_cache_keys_by_content_not_identity():
+    """Regression: the packed-table cache was keyed by id(ctx); a collected
+    context's id can be recycled by a NEW context of a different size,
+    serving stale tables (surfaced in the round-3 bench as a reshape error
+    when the n=8192 suite context was freed before the n=16384 one was
+    built). Content keys (n, moduli) make equal-parameter contexts share a
+    build and different-parameter contexts never collide."""
+    from abc_tpu.crypto.ntt import NttContext
+    from abc_tpu.ops import pallas_ntt
+
+    m1 = NttContext(2048, gen_primes(2048, 2), engine="jx32")
+    m2 = NttContext(2048, m1.moduli, engine="jx32")    # same params
+    m3 = NttContext(4096, gen_primes(4096, 2), engine="jx32")
+    t1 = pallas_ntt.get_tables(m1)
+    t2 = pallas_ntt.get_tables(m2)
+    t3 = pallas_ntt.get_tables(m3)
+    assert t1 is t2                       # shared build for equal params
+    assert t3 is not t1
+    assert t3[0].shape[-2] == 4096 // 128  # n=4096 rows, not stale n=2048
+
+
+def gen_primes(n, count):
+    from abc_tpu.crypto.numthy import gen_ntt_primes
+    return gen_ntt_primes(30, count, n)
