@@ -336,7 +336,11 @@ def config6_laplace_n16384_e2e() -> Dict:
                     "CSV phases are the steady-state (second) pass — the "
                     "first pass's XLA compile/executable-load cost is "
                     "xla_compile_ms, the analogue of the reference's "
-                    "untimed ahead-of-time C++ build"}
+                    "untimed ahead-of-time C++ build. t_decryption is ~1 ms "
+                    "of device compute + two tunnel round trips on this "
+                    "rig's remote TPU (~29 ms on a fast window, up to ~47 "
+                    "when the tunnel is slow); on a locally attached chip "
+                    "the transfer term is microseconds"}
 
 
 def _chain_ops_per_s_1arg(step, arg0, chain, repeats=3):  # pragma: no cover
