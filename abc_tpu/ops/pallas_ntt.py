@@ -251,10 +251,23 @@ def _fwd_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
         x = x_ref[0, 0, g]
         pw, psh = pw_ref[g], psh_ref[g]
         lw, lsh = lw_ref[g], lsh_ref[g]
+        R = n // LANE
         for s in range(logn):
             t = n // (2 << s)
-            is_u = _is_u_mask(n, t)
             xr = jnp.where(x >= two_q, x - two_q, x)          # < 2q
+            if s == 0:
+                # single block (t = n/2): both output halves are formed
+                # from the SAME static slices — u' = top + w·bot,
+                # v' = top + (2q − w·bot) — zero rolls, zero selects, and
+                # the (constant) twiddle multiply runs on half the rows
+                w0 = jnp.broadcast_to(pw[:R // 2, 0:1], (R // 2, LANE))
+                w0sh = jnp.broadcast_to(psh[:R // 2, 0:1], (R // 2, LANE))
+                top = xr[:R // 2]
+                m_bot = _mul_shoup_lazy(xr[R // 2:], w0, w0sh, q)
+                x = jnp.concatenate([top + m_bot,
+                                     top + (two_q - m_bot)], axis=0)
+                continue
+            is_u = _is_u_mask(n, t)
             # multiply EVERYWHERE by the own-position stage twiddle (the
             # twiddle is block-constant within 2t, so the u side's needed
             # product w·x[p+t] is just m[p+t]): one select fewer per stage
@@ -280,8 +293,21 @@ def _inv_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
         x = x_ref[0, 0, g]
         pw, psh = pw_ref[g], psh_ref[g]
         lw, lsh = lw_ref[g], lsh_ref[g]
+        R = n // LANE
         for s in range(logn - 1, -1, -1):
             t = n // (2 << s)
+            if s == 0:
+                # single block (t = n/2), mirror of the forward kernel's
+                # zero-roll form: u' = reduce(top + bot),
+                # v' = w·(top + 2q − bot) from static slices
+                w0 = jnp.broadcast_to(pw[:R // 2, 0:1], (R // 2, LANE))
+                w0sh = jnp.broadcast_to(psh[:R // 2, 0:1], (R // 2, LANE))
+                top, bot = x[:R // 2], x[R // 2:]
+                u_new = top + bot                              # < 4q
+                u_new = jnp.where(u_new >= two_q, u_new - two_q, u_new)
+                v_new = _mul_shoup_lazy(top + (two_q - bot), w0, w0sh, q)
+                x = jnp.concatenate([u_new, v_new], axis=0)    # < 2q
+                continue
             is_u = _is_u_mask(n, t)
             hi = _roll(x, -1, t)
             lo = _roll(x, 1, t)

@@ -111,7 +111,19 @@ def _ablate_kernel(n, G, mode, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
             elif mode == "muls_only":
                 wv = _stage_mul(n, s, xr, pw, psh, lw, lsh, q)
                 x = xr + wv
-            elif mode == "reformed":
+            elif mode == "split0" and s == 0:
+                # first stage (one block, t = n/2): both output halves are
+                # formed from the SAME static slices — u' = xr_top + m_bot,
+                # v' = xr_top + (2q − m_bot) — zero rolls, zero selects,
+                # and the multiply only runs on the bottom half
+                R = n // LANE
+                xr_top = xr[:R // 2]
+                w = jnp.broadcast_to(pw[:R // 2, 0:1], (R // 2, LANE))
+                wsh = jnp.broadcast_to(psh[:R // 2, 0:1], (R // 2, LANE))
+                m_bot = _mul_shoup_lazy(xr[R // 2:], w, wsh, q)
+                x = jnp.concatenate([xr_top + m_bot,
+                                     xr_top + (two_q - m_bot)], axis=0)
+            elif mode in ("reformed", "split0"):
                 # multiply EVERYWHERE by the own-position stage twiddle
                 # (block-constant within 2t, so m[p+t] is the u-side's
                 # needed product): one select fewer per stage than `full`
