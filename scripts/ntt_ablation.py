@@ -123,7 +123,29 @@ def _ablate_kernel(n, G, mode, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
                 m_bot = _mul_shoup_lazy(xr[R // 2:], w, wsh, q)
                 x = jnp.concatenate([xr_top + m_bot,
                                      xr_top + (two_q - m_bot)], axis=0)
-            elif mode in ("reformed", "split0"):
+            elif mode == "splitk" and t >= LANE and (n // LANE) // \
+                    (2 * (t // LANE)) <= 4:
+                # generalized zero-roll form for the first sublane stages:
+                # per 2t'-sublane block, u' = top + w_b*bot and
+                # v' = top + (2q − w_b*bot) from static slices; concat of
+                # 2·nblocks pieces (tried for nblocks ≤ 4)
+                R = n // LANE
+                tp = t // LANE
+                nblocks = R // (2 * tp)
+                pieces = []
+                for bidx in range(nblocks):
+                    base = bidx * 2 * tp
+                    top = xr[base:base + tp]
+                    w = jnp.broadcast_to(pw[base:base + tp, s:s + 1],
+                                         (tp, LANE))
+                    wsh = jnp.broadcast_to(psh[base:base + tp, s:s + 1],
+                                           (tp, LANE))
+                    m_bot = _mul_shoup_lazy(xr[base + tp:base + 2 * tp],
+                                            w, wsh, q)
+                    pieces.append(top + m_bot)
+                    pieces.append(top + (two_q - m_bot))
+                x = jnp.concatenate(pieces, axis=0)
+            elif mode in ("reformed", "split0", "splitk"):
                 # multiply EVERYWHERE by the own-position stage twiddle
                 # (block-constant within 2t, so m[p+t] is the u-side's
                 # needed product): one select fewer per stage than `full`
