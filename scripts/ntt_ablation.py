@@ -102,7 +102,16 @@ def _ablate_kernel(n, G, mode, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
                 x = jnp.where(is_u, x, x + jnp.uint32(1))
                 continue
             xr = jnp.where(x >= two_q, x - two_q, x)
-            if mode == "rolls_only":
+            if mode == "rolls_sub" and t >= LANE or \
+                    mode == "rolls_lane" and t < LANE:
+                is_u = _is_u_mask(n, t)
+                hi = _roll(xr, -1, t)
+                lo = _roll(xr, 1, t)
+                sel = jnp.where(is_u, hi, xr)
+                x = jnp.where(is_u, xr + sel, lo + (two_q - sel))
+            elif mode in ("rolls_sub", "rolls_lane"):
+                x = xr + jnp.uint32(1)
+            elif mode == "rolls_only":
                 is_u = _is_u_mask(n, t)
                 hi = _roll(xr, -1, t)
                 lo = _roll(xr, 1, t)
