@@ -258,7 +258,15 @@ class CkksContext:
             self._slot_exponents[i] = g
             g = g * 3 % m
 
-        self.rng = np.random.default_rng(params.seed)
+        # CKKS draws uniform AND secret material from one Generator, so the
+        # whole seed is secret-domain (no seeded-key/Serializable contract
+        # here — that is BFV's counter-PRNG path); the domain split still
+        # keeps a shared master seed from correlating BFV public streams
+        # with CKKS secrets.
+        from abc_tpu.crypto.prng import split_domain
+        self.rng = np.random.default_rng(
+            None if params.seed is None
+            else split_domain(params.seed, "secret"))
         self._keygen()
         self.relin_key: Optional[Tuple] = None
         self.galois_keys: Dict[int, Tuple] = {}
@@ -363,26 +371,26 @@ class CkksContext:
         if ov and f"galois_{g}" in ov:
             return ov[f"galois_{g}"]
         if g not in self.galois_keys:
-            gather, sign = self._galois_perm_host(g)
-            s_lift = self._lift_signed(self.s_coeffs, list(range(self.full)))
-            out = s_lift[..., gather]
-            qv = np.asarray(self.hqp.q)
-            neg = np.where(out == 0, 0, qv - out.astype(np.uint64)).astype(np.uint32)
-            s_tau = np.where(sign, out, neg)
-            self.galois_keys[g] = self._make_ksk(self.hqp.fwd(s_tau))
+            # τ_g applied in the EVALUATION domain as a pure permutation of
+            # s_ntt_full (same identity as BfvContext._ksk_target_host:
+            # τ_g(s)'s eval at ψ^e is s's eval at ψ^{e·g}) — bit-identical
+            # to coefficient-automorphism + forward NTT, minus the NTT.
+            s_tau_ntt = np.ascontiguousarray(
+                self.s_ntt_full[..., self._galois_perm_eval(g)])
+            self.galois_keys[g] = self._make_ksk(s_tau_ntt)
         return self.galois_keys[g]
 
     def _galois_perm_host(self, g: int):
+        # vectorized (see BfvContext._galois_perm_host)
         n = self.params.n
-        m = 2 * n
+        j = np.arange(n, dtype=np.int64)
+        jg = (j * g) % (2 * n)
+        wrap = jg >= n
+        idx = np.where(wrap, jg - n, jg)
         gather = np.empty(n, dtype=np.int64)
         sign_pos = np.empty(n, dtype=bool)
-        for j in range(n):
-            jg = j * g % m
-            if jg < n:
-                gather[jg], sign_pos[jg] = j, True
-            else:
-                gather[jg - n], sign_pos[jg - n] = j, False
+        gather[idx] = j
+        sign_pos[idx] = ~wrap
         return gather, sign_pos
 
     def _galois_perm(self, g: int):
@@ -688,15 +696,10 @@ class CkksContext:
         the eval at ψ^{2·brv(p)+1}). Enables hoisting."""
         key = ("eval", g)
         if key not in self._perm_cache:
+            from abc_tpu.crypto.ntt import eval_perm_tables
             n = self.params.n
-            logn = n.bit_length() - 1
-            m = 2 * n
-            brv = np.array([bit_reverse(p, logn) for p in range(n)],
-                           dtype=np.int64)
-            e = 2 * brv + 1
-            pos_of_exp = np.empty(m, dtype=np.int64)
-            pos_of_exp[e] = np.arange(n)
-            self._perm_cache[key] = pos_of_exp[(e * g) % m]
+            e, pos_of_exp = eval_perm_tables(n)      # module-cached per n
+            self._perm_cache[key] = pos_of_exp[(e * g) % (2 * n)]
         return self._perm_cache[key]
 
     def _decompose_cached(self, ct_data, level: int):

@@ -23,13 +23,30 @@ bits; a uniform residue mod q is the 64-bit draw reduced mod q (bias
 fixed-shape jit).
 
 Streams are identified by strings ("pk", "relin/d0", "galois_3/d2",
-"enc/17") hashed into the key word — draw-order independent, so np64 and
-jx32 contexts agree even if they materialize keys in different orders.
+"enc/17") compressed into the key words via SHA-256 + one Threefry block —
+draw-order independent, so np64 and jx32 contexts agree even if they
+materialize keys in different orders.
+
+Seed domains: a context's master seed is split into a PUBLIC domain seed
+(uniform `a` streams — the part a SEAL-style Serializable<PublicKey>
+serializer may publish to halve key sizes) and a SECRET domain seed
+(ternary secrets, Gaussian errors) via `split_domain`. Publishing the
+public seed therefore reveals nothing about the error/secret streams:
+recovering the master from a domain seed is a Threefry key-recovery.
+
+SECURITY LIMITATION (documented, accepted for a benchmarking framework):
+the Gaussian error and ternary secret draws go through numpy's PCG64
+(`seeded_rng`), which is not a CSPRNG, and auto-generated master seeds
+carry 63 bits of OS entropy. The bit-exactness contract (np64 == jx32 ==
+Pallas == C++, tests/test_prng.py, test_bfv.py) is about reproducibility,
+not cryptographic hardening; production use would swap `seeded_rng` for a
+counter-PRF Gaussian sampler and 256-bit seeds.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
+import struct
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -39,12 +56,32 @@ _PARITY = 0x1BD11BDA
 
 
 def derive_key(seed: int, stream: str) -> Tuple[int, int]:
-    """(k0, k1) words for a (seed, stream) pair. crc32 is used only to mix
-    the stream LABEL into a word — all statistical/crypto strength comes
-    from the 20 Threefry rounds, not the label hash."""
-    k0 = seed & 0xFFFFFFFF
-    k1 = zlib.crc32(stream.encode()) ^ ((seed >> 32) & 0xFFFFFFFF)
-    return k0, k1 & 0xFFFFFFFF
+    """(k0, k1) words for a (seed, stream) pair.
+
+    The stream LABEL is hashed with SHA-256 and 128 bits of it are
+    compressed into the 64-bit working key through one Threefry block
+    keyed by the seed (two hash words as the counter, two XORed into the
+    output). Label separation therefore rests on 128 bits of SHA-256, not
+    on a 32-bit crc (labels are data-dependent — e.g. "galois_<g>/d<i>"
+    per rotation key — and a silent label collision would reuse the same
+    uniform `a` across two RLWE samples, leaking key material)."""
+    h0, h1, h2, h3 = struct.unpack(
+        "<4I", hashlib.sha256(stream.encode()).digest()[:16])
+    x0, x1 = threefry2x32(np, seed & 0xFFFFFFFF, (seed >> 32) & 0xFFFFFFFF,
+                          np.uint32(h0).reshape(()), np.uint32(h1).reshape(()))
+    return int(x0) ^ h2, int(x1) ^ h3
+
+
+def split_domain(master_seed: int, domain: str) -> int:
+    """63-bit sub-seed for a named domain of a master seed.
+
+    Used to separate the PUBLIC randomness domain (uniform `a` streams,
+    publishable for SEAL-style seeded-key compression) from the SECRET
+    domain (ternary secrets, Gaussian errors): both are Threefry outputs
+    of the master, so one domain seed does not reveal the other (or the
+    master) without a Threefry key recovery."""
+    hi, lo = random_bits_np(master_seed, f"seed-domain/{domain}", ())
+    return ((int(hi) << 32) | int(lo)) & 0x7FFFFFFFFFFFFFFF
 
 
 def _rotl(xp, x, r: int):

@@ -34,8 +34,12 @@ def enable_persistent_cache(path: str | None = None) -> str:
         return cache_dir
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache everything: FHE executables are small relative to compile cost
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Keep a small compile-time floor so thousands of trivial test/bench
+    # executables don't grow the (eviction-free) cache without bound; the
+    # executables worth persisting all compile in seconds-to-minutes.
+    # ABC_TPU_CACHE_MIN_COMPILE_SECS=0 restores cache-everything.
+    min_secs = float(os.environ.get("ABC_TPU_CACHE_MIN_COMPILE_SECS", "1.0"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _ENABLED = True
     return cache_dir

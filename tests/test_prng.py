@@ -41,6 +41,52 @@ def test_streams_differ():
     assert np.array_equal(a[0], a2[0]) and np.array_equal(a[1], a2[1])
 
 
+def test_crc32_colliding_labels_get_distinct_keys():
+    """Round-4 advisor fix: label separation must not rest on 32 bits of
+    crc32 — "plumless"/"buckeroo" is the classic crc32 collision pair, and
+    a silent key collision between two stream labels would reuse the same
+    uniform `a` across two RLWE samples. derive_key now spreads 128 bits
+    of SHA-256 through the key words."""
+    import zlib
+    assert zlib.crc32(b"plumless") == zlib.crc32(b"buckeroo")  # the premise
+    assert derive_key(123, "plumless") != derive_key(123, "buckeroo")
+    a = random_bits_np(123, "plumless", (8,))
+    b = random_bits_np(123, "buckeroo", (8,))
+    assert not np.array_equal(a[0], b[0])
+
+
+def test_seed_domain_split():
+    """split_domain: deterministic, domain-separated, and the BfvContext
+    public/secret domains actually differ (publishing the public seed must
+    not hand out the error-stream keys — advisor round-3 medium)."""
+    from abc_tpu.crypto.prng import split_domain
+    pub = split_domain(42, "public")
+    sec = split_domain(42, "secret")
+    assert pub == split_domain(42, "public")        # deterministic
+    assert pub != sec
+    assert pub != split_domain(43, "public")
+    assert 0 <= pub < 2 ** 63 and 0 <= sec < 2 ** 63
+
+
+def test_bfv_public_seed_is_not_master_or_secret_domain():
+    from abc_tpu.crypto.bfv import BfvContext
+    from abc_tpu.crypto.params import BfvParams
+    from abc_tpu.crypto.prng import split_domain
+    ctx = BfvContext(BfvParams.create(1024, engine="np64", seed=77))
+    assert ctx.public_seed != 77
+    assert ctx.public_seed == split_domain(77, "public")
+    assert ctx.public_seed != ctx._sec_seed
+    # reproducibility contract survives the split: same master seed ⇒ same
+    # keys and ciphertexts
+    ctx2 = BfvContext(BfvParams.create(1024, engine="np64", seed=77))
+    assert np.array_equal(ctx.pk_a_ntt, ctx2.pk_a_ntt)
+    assert np.array_equal(ctx.pk_b_ntt, ctx2.pk_b_ntt)
+    ct = ctx.encrypt(ctx.encode([1, 2, 3]))
+    ct2 = ctx2.encrypt(ctx2.encode([1, 2, 3]))
+    assert np.array_equal(ct.data, ct2.data)
+    assert ctx.decode(ctx.decrypt(ct))[:3] == [1, 2, 3]
+
+
 def test_uniform_np_in_range():
     u = uniform_rns_np(7, "x", MODULI, 256)
     assert u.shape == (3, 256) and u.dtype == np.uint32
