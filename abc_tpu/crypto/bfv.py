@@ -35,7 +35,7 @@ import numpy as np
 from abc_tpu.crypto.ntt import NttContext, bit_reverse
 from abc_tpu.crypto.numthy import centered, modinv
 from abc_tpu.crypto.params import BfvParams
-from abc_tpu.crypto.prng import derive_key, uniform_rns_np
+from abc_tpu.crypto.prng import derive_key, split_domain, uniform_rns_np
 from abc_tpu.ops.modarith import barrett_mu
 from abc_tpu.utils.errors import RuntimeExecutionError
 
@@ -194,18 +194,24 @@ class BfvContext:
 
         # --- keys ----------------------------------------------------------------
         # Two randomness sources, both shared bit-for-bit by the np64 and
-        # jx32 engines:
-        #   * self.rng (numpy Generator) — SMALL host draws only (ternary
-        #     secrets, Gaussian errors); engines must consume it in the same
-        #     order.
-        #   * the counter PRNG (crypto/prng.py) — every UNIFORM polynomial
-        #     (the `a` of each RLWE sample), keyed by (seed, stream label):
-        #     draw-order independent, and generatable ON DEVICE inside the
-        #     jitted keygen/encrypt paths, so key-sized arrays never cross
-        #     the host↔device boundary (SEAL's seeded-key trick).
-        self.rng = np.random.default_rng(params.seed)
-        self._prng_seed = params.seed if params.seed is not None else \
+        # jx32 engines, keyed from SEPARATE domains of the master seed
+        # (crypto/prng.py split_domain):
+        #   * self.rng (numpy Generator, SECRET domain) — SMALL host draws
+        #     only (ternary secrets, Gaussian errors); engines must consume
+        #     it in the same order.
+        #   * the counter PRNG (PUBLIC domain) — every UNIFORM polynomial
+        #     (the `a` of each RLWE sample), keyed by (public seed, stream
+        #     label): draw-order independent, and generatable ON DEVICE
+        #     inside the jitted keygen/encrypt paths, so key-sized arrays
+        #     never cross the host↔device boundary (SEAL's seeded-key
+        #     trick). Only self.public_seed may ever be serialized: it
+        #     regenerates the `a` halves but reveals nothing about the
+        #     secret/error draws (those live in the other domain).
+        self._master_seed = params.seed if params.seed is not None else \
             int(np.random.default_rng().integers(0, 2 ** 63))
+        self._prng_seed = split_domain(self._master_seed, "public")
+        self._sec_seed = split_domain(self._master_seed, "secret")
+        self.rng = np.random.default_rng(self._sec_seed)
         self._enc_counter = 0
         self._keygen()
         self.relin_key: Optional[Tuple] = None
@@ -267,11 +273,21 @@ class BfvContext:
             out[j] = np.mod(coeffs, qj).astype(np.uint32)
         return out
 
+    @property
+    def public_seed(self) -> int:
+        """The PUBLIC-domain seed: regenerates every uniform `a` component
+        (public key, switching-key digits) via (public_seed, stream). This
+        is the ONLY seed a seeded-key serializer may publish — the secret
+        and error draws are keyed from a separate domain of the master
+        seed (crypto/prng.py split_domain), so the public seed does not
+        let a holder reconstruct e and recover s from b = -(a·s+e)."""
+        return self._prng_seed
+
     def _uniform_rns(self, num_limbs: int, stream: str) -> np.ndarray:
         """Uniform element of Z_q in RNS (independent uniform residues are
         uniform over Z_q by the CRT bijection), drawn from the counter PRNG
-        at (context seed, stream) — host path; the device paths regenerate
-        the identical array in-jit (crypto/prng.py)."""
+        at (PUBLIC-domain seed, stream) — host path; the device paths
+        regenerate the identical array in-jit (crypto/prng.py)."""
         return uniform_rns_np(self._prng_seed, stream,
                               self.params.coeff_modulus[:num_limbs],
                               self.params.n)
@@ -315,23 +331,35 @@ class BfvContext:
 
     def _ksk_errors(self, stream: str) -> np.ndarray:
         """[α, n] int64 Gaussian errors for one switching key, drawn from a
-        generator keyed by (seed, stream) — order-independent, so both
-        engines (and repeated builds) produce the identical key."""
+        generator keyed by (SECRET-domain seed, stream) — order-independent,
+        so both engines (and repeated builds) produce the identical key;
+        publishing the public seed does not expose these draws."""
         from abc_tpu.crypto.prng import seeded_rng
-        rng_e = seeded_rng(self._prng_seed, f"{stream}/e")
-        return np.stack([self._sample_error(rng_e)
-                         for _ in range(self.params.num_ks_digits)])
+        rng_e = seeded_rng(self._sec_seed, f"{stream}/e")
+        # one batched draw == α sequential _sample_error draws bit-for-bit
+        # (Generator.normal consumes the stream identically regardless of
+        # output shape — verified), minus α−1 Python round trips
+        e = np.rint(rng_e.normal(0.0, self.params.error_std,
+                                 (self.params.num_ks_digits, self.params.n)))
+        return np.clip(e, -19, 19).astype(np.int64)
 
     def _ksk_target_host(self, key_id: str) -> np.ndarray:
         """Host NTT-domain target secret for a key id: s² for "relin",
-        τ_g(s) for "galois_<g>" (host np64 native NTT — milliseconds)."""
+        τ_g(s) for "galois_<g>".
+
+        τ_g is applied in the EVALUATION domain as the pure permutation
+        out[p] = in[perm(p)] (_galois_perm_eval — exactly the identity the
+        hoisted rotation path uses): τ_g(s)'s eval at ψ^e is s's eval at
+        ψ^{e·g}, so no coefficient-domain automorphism + forward NTT is
+        needed. Bit-identical to transform-after-automorphism, and it cuts
+        the per-galois-key host cost from a full [L+k, n] NTT (~40 ms at
+        n=16384) to a numpy gather (<1 ms) — the difference between winning
+        and losing the reference's t_keygen column at reference scale."""
         if key_id == "relin":
             return self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
         g = int(key_id[len("galois_"):])
-        gather, sign = self._galois_perm_host(g)
-        s_lift = self._lift_signed(self.s_coeffs, self.full)
-        return self.hqp.fwd(
-            self._apply_automorphism_host(s_lift, gather, sign))
+        return np.ascontiguousarray(
+            self.s_ntt_full[..., self._galois_perm_eval(g)])
 
     def _make_ksk_host(self, s2_ntt_full: np.ndarray, stream: str) -> Tuple:
         """Host (np64) construction of one switching key toward target
@@ -390,12 +418,12 @@ class BfvContext:
         s2_all = np.zeros((K_pad, full, n), dtype=np.uint32)
         for j, kid in enumerate(key_ids):
             s2_all[j] = self._ksk_target_host(kid)
-        b, a = _ksk_batch_jit(moduli)(
+        outs = _ksk_batch_jit(moduli, K_pad)(
             jnp.asarray(k0s), jnp.asarray(k1s), jnp.asarray(errors),
             jax.device_put(s2_all), self._dev_s_ntt_full,
             self._tab["ks_factors"], self._tab["q_full"],
             self._tab["mu_full"], self.ntt_qp.fwd_tw, self.ntt_qp.fwd_tw_sh)
-        return {kid: (b[j], a[j]) for j, kid in enumerate(key_ids)}
+        return {kid: outs[j] for j, kid in enumerate(key_ids)}
 
     # Key plumbing for whole-program jit (runtime/jit_executor.py): a
     # recording pass collects WHICH keys a program uses; an override dict
@@ -486,15 +514,15 @@ class BfvContext:
         matrix batching layout: slot (r, i) sits at evaluation point
         ψ^(±3^i mod 2n); forward-NTT position p evaluates at ψ^(2·brv(p)+1)
         (convention verified in tests/test_ntt.py)."""
+        from abc_tpu.crypto.ntt import _bit_reverse_vec
         logn = n.bit_length() - 1
         m = 2 * n
+        brv = _bit_reverse_vec(n, logn)  # table lookup beats 16384 int loops
         pos = np.empty(n, dtype=np.int64)
         g = 1
         for i in range(n // 2):
-            e1 = g                       # row 0: exponent 3^i
-            e2 = m - g                   # row 1: exponent -3^i
-            pos[i] = bit_reverse((e1 - 1) // 2, logn)
-            pos[n // 2 + i] = bit_reverse((e2 - 1) // 2, logn)
+            pos[i] = brv[(g - 1) // 2]            # row 0: exponent 3^i
+            pos[n // 2 + i] = brv[(m - g - 1) // 2]   # row 1: exponent -3^i
             g = g * 3 % m
         return pos
 
@@ -899,19 +927,18 @@ class BfvContext:
 
     # ------------------------------------------------------------------ rotations
     def _galois_perm_host(self, g: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Gather indices + signs applying x → x^g in coefficient domain."""
+        """Gather indices + signs applying x → x^g in coefficient domain
+        (vectorized: the former per-index Python loop cost ~30 ms per galois
+        element at n=16384)."""
         n = self.params.n
-        m = 2 * n
+        j = np.arange(n, dtype=np.int64)
+        jg = (j * g) % (2 * n)
+        wrap = jg >= n
+        idx = np.where(wrap, jg - n, jg)
         gather = np.empty(n, dtype=np.int64)
         sign_pos = np.empty(n, dtype=bool)
-        for j in range(n):
-            jg = j * g % m
-            if jg < n:
-                gather[jg] = j
-                sign_pos[jg] = True
-            else:
-                gather[jg - n] = j
-                sign_pos[jg - n] = False
+        gather[idx] = j
+        sign_pos[idx] = ~wrap
         return gather, sign_pos
 
     def _apply_automorphism_host(self, poly: np.ndarray, gather, sign_pos):
@@ -984,15 +1011,10 @@ class BfvContext:
         (expensive) forward NTTs."""
         key = ("eval", g)
         if key not in self._perm_cache:
+            from abc_tpu.crypto.ntt import eval_perm_tables
             n = self.params.n
-            logn = n.bit_length() - 1
-            m = 2 * n
-            brv = np.array([bit_reverse(p, logn) for p in range(n)],
-                           dtype=np.int64)
-            e = 2 * brv + 1                          # exponent at position p
-            pos_of_exp = np.empty(m, dtype=np.int64)
-            pos_of_exp[e] = np.arange(n)             # odd exponents only
-            self._perm_cache[key] = pos_of_exp[(e * g) % m]
+            e, pos_of_exp = eval_perm_tables(n)      # module-cached per n
+            self._perm_cache[key] = pos_of_exp[(e * g) % (2 * n)]
         return self._perm_cache[key]
 
     def hoisted_rotations(self, ct: BfvCiphertext,
@@ -1077,9 +1099,15 @@ def _lift_signed_u32(v_i32, q_col):
     return jnp.where(neg, q_col + v_u, v_u)
 
 
-def _ksk_batch_jit(moduli: Tuple[int, ...]):
-    """Batched switching-key builder over K padded keys (see
-    BfvContext._build_keys_batch); keyed by the modulus chain."""
+def _ksk_batch_jit(moduli: Tuple[int, ...], K_pad: int):
+    """Batched switching-key builder over K_pad padded keys (see
+    BfvContext._build_keys_batch); keyed by the modulus chain + bucket.
+
+    Returns one (b, a) PAIR PER KEY from the single jitted call — the
+    per-key split is a fused in-trace slice, so consumers get individual
+    device arrays without post-hoc eager b[j]/a[j] slicing (each of those
+    was a separate ~25 ms dispatch on the tunneled TPU: 2K slices for a
+    10-key program cost ~500 ms of the measured t_keygen)."""
     def make():
         def build(k0s, k1s, e_i32, s2_all, s_ntt, factors, q_full, mu_full,
                   fwd_tw, fwd_tw_sh):
@@ -1095,9 +1123,9 @@ def _ksk_batch_jit(moduli: Tuple[int, ...]):
             term = e.mul(s2_all[:, None], factors[None], q, mu)
             b = e.add(e.sub(e.neg(e.mul(a, s_ntt[None, None], q, mu), q),
                             e_ntt, q), term, q)
-            return b, a
+            return tuple((b[j], a[j]) for j in range(K_pad))
         return build
-    return _mjit(("ksk", moduli), make)
+    return _mjit(("ksk", moduli, K_pad), make)
 
 
 def _enc_jit():

