@@ -17,9 +17,29 @@ from typing import Optional
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "modpoly.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "libmodpoly.so")
+
+
+def _locate() -> tuple:
+    """(source path, shared-object path) for the current install layout.
+
+    Dev/repo layout: <repo>/native/modpoly.cpp with the .so built next to
+    it. pip-installed layout: the source ships as package data
+    (abc_tpu/_native_src/modpoly.cpp, pyproject.toml) and the .so is built
+    on first use into the source dir if writable, else into
+    ~/.cache/abc_tpu/native (site-packages is often read-only)."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_src = os.path.join(os.path.dirname(pkg), "native", "modpoly.cpp")
+    pkg_src = os.path.join(pkg, "_native_src", "modpoly.cpp")
+    src = repo_src if os.path.exists(repo_src) else pkg_src
+    so_dir = os.path.dirname(src)
+    if not os.access(so_dir, os.W_OK):
+        so_dir = os.path.join(os.path.expanduser("~"), ".cache", "abc_tpu",
+                              "native")
+        os.makedirs(so_dir, exist_ok=True)
+    return src, os.path.join(so_dir, "libmodpoly.so")
+
+
+_SRC, _SO = _locate()
 
 _U32P = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 
