@@ -189,7 +189,8 @@ def config4_cone_rewriting() -> Dict:
     gt = out["sorting_gt16"]["flow"]
     d0, d1 = gt["depth"]
     return {"metric": "config4_cone_rewriting_mult_depth",
-            "value": d1, "unit": f"mult-depth (from {d0}, sorting_gt16)",
+            "value": d1, "unit": "mult-depth (sorting_gt16)",
+            "depth_before": d0,
             "vs_baseline": round(d0 / max(d1, 1), 2),
             "circuits": out,
             "compile_ms": round(compile_ms, 2),

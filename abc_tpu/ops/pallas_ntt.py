@@ -130,6 +130,24 @@ def build_tables(n: int, tab_w: np.ndarray, tab_sh: np.ndarray,
     return packed_w, packed_sh, laneB_w, laneB_sh
 
 
+def lane_plane_indices(n: int) -> np.ndarray:
+    """[7, n] int32: for each lane-phase stage k (stride t < 128), the
+    twiddle-table index m + j//(2t) of element j — the FULL per-element
+    twiddle plane as a gather of the [L, n] psi^brv table. Used by the
+    batched-only full-plane kernel variant (tables are built by an
+    on-device gather, so no host→device transfer of the ~12.8 MB planes)."""
+    logn = n.bit_length() - 1
+    s1 = logn - LANE_STAGES
+    j = np.arange(n, dtype=np.int64)
+    idx = np.empty((LANE_STAGES, n), dtype=np.int32)
+    for k in range(LANE_STAGES):
+        s = s1 + k
+        m = 1 << s
+        t = n // (2 * m)
+        idx[k] = (m + j // (2 * t)).astype(np.int32)
+    return idx
+
+
 _TABLE_CACHE: Dict[int, Tuple] = {}
 
 
@@ -214,14 +232,19 @@ def _is_u_mask(n: int, t: int):
     return (c_ids % (2 * t)) < t
 
 
-def _stage_mul(n, s, sel, pw, psh, lw, lsh, q):
+def _stage_mul(n, s, sel, pw, psh, lw, lsh, q, full_lane: bool = False):
     """wv ∈ [0, 2q) ≡ sel·w_s (mod q) for stage s.
 
     Sublane-phase stages (lane-constant twiddles) use one lazy Shoup
     product with the packed-column twiddle. Lane-phase stages recombine the
     rank-1 factorization w = A[r]·B[c] with TWO lazy Shoup products
     ((sel·B)·A) — both companions precomputed, both results in [0, 2q),
-    congruent mod q to the fused product (see module doc)."""
+    congruent mod q to the fused product (see module doc) — UNLESS
+    full_lane, where lw/lsh are the full [7, R, 128] per-stage twiddle
+    planes and the product is a SINGLE lazy Shoup multiply (the
+    batched-only variant: the 12.8 MB/limb-group plane stream amortizes
+    over the batch grid axis, buying back the second multiply the rank-1
+    factorization pays — docs/NTT_ABLATION.md "the next lever")."""
     R = n // LANE
     logn = n.bit_length() - 1
     s1 = logn - LANE_STAGES
@@ -230,6 +253,8 @@ def _stage_mul(n, s, sel, pw, psh, lw, lsh, q):
         wsh = jnp.broadcast_to(psh[:, s:s + 1], (R, LANE))
         return _mul_shoup_lazy(sel, w, wsh, q)
     k = s - s1
+    if full_lane:
+        return _mul_shoup_lazy(sel, lw[k], lsh[k], q)
     b = jnp.broadcast_to(lw[k:k + 1, :], (R, LANE))
     bsh = jnp.broadcast_to(lsh[k:k + 1, :], (R, LANE))
     a = jnp.broadcast_to(pw[:, s:s + 1], (R, LANE))
@@ -237,8 +262,8 @@ def _stage_mul(n, s, sel, pw, psh, lw, lsh, q):
     return _mul_shoup_lazy(_mul_shoup_lazy(sel, b, bsh, q), a, ash, q)
 
 
-def _fwd_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
-                lsh_ref, out_ref):
+def _fwd_kernel(n: int, G: int, full_lane: bool, q_ref, x_ref, pw_ref,
+                psh_ref, lw_ref, lsh_ref, out_ref):
     i = pl.program_id(0)
     logn = n.bit_length() - 1
     # Harvey-style lazy butterflies: the stage invariant is x < 4q
@@ -273,7 +298,7 @@ def _fwd_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
             # product w·x[p+t] is just m[p+t]): one select fewer per stage
             # than multiplying a partner-selected operand, and a measured
             # ~1-3% faster with bit-identical output (A/B on the real chip)
-            m_all = _stage_mul(n, s, xr, pw, psh, lw, lsh, q)
+            m_all = _stage_mul(n, s, xr, pw, psh, lw, lsh, q, full_lane)
             pm = _roll(m_all, -1, t)
             px = _roll(xr, 1, t)
             x = jnp.where(is_u, xr + pm, px + (two_q - m_all))  # < 4q
@@ -281,8 +306,8 @@ def _fwd_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
         out_ref[0, 0, g] = jnp.where(x >= q, x - q, x)
 
 
-def _inv_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
-                lsh_ref, ninv_ref, ninvsh_ref, out_ref):
+def _inv_kernel(n: int, G: int, full_lane: bool, q_ref, x_ref, pw_ref,
+                psh_ref, lw_ref, lsh_ref, ninv_ref, ninvsh_ref, out_ref):
     i = pl.program_id(0)
     logn = n.bit_length() - 1
     # Gentleman-Sande with the x < 2q lazy invariant: sums reduced once,
@@ -313,7 +338,8 @@ def _inv_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
             lo = _roll(x, 1, t)
             u_new = x + hi                                     # < 4q
             u_new = jnp.where(u_new >= two_q, u_new - two_q, u_new)
-            v_new = _stage_mul(n, s, lo + (two_q - x), pw, psh, lw, lsh, q)
+            v_new = _stage_mul(n, s, lo + (two_q - x), pw, psh, lw, lsh, q,
+                               full_lane)
             x = jnp.where(is_u, u_new, v_new)                  # < 2q
         ninv = jnp.broadcast_to(ninv_ref[i * G + g, 0], x.shape)
         ninvsh = jnp.broadcast_to(ninvsh_ref[i * G + g, 0], x.shape)
@@ -336,21 +362,27 @@ def _inv_kernel(n: int, G: int, q_ref, x_ref, pw_ref, psh_ref, lw_ref,
 
 VMEM_BUDGET = 12 << 20
 
+# per-limb VMEM bytes: rank-1 kernels stream ~32·n (double-buffered x/out +
+# packed tables); the full-plane variant adds the 7 lane-stage plane pairs
+# (56·n) → ~88·n, so its limb groups are smaller (e.g. G=7 vs 14 at n=16384)
+_BYTES_RANK1 = 32
+_BYTES_FULL = 88
 
-def _group(L: int, n: int) -> Tuple[int, int]:
-    gmax = max(1, VMEM_BUDGET // (32 * n))
-    G = min(L, gmax)
-    ngroups = -(-L // G)
+
+def _group(L: int, n: int, bytes_per: int = _BYTES_RANK1) -> Tuple[int, int]:
+    gmax = max(1, VMEM_BUDGET // (bytes_per * n))
+    ngroups = -(-L // min(L, gmax))
+    G = -(-L // ngroups)        # even split: G=7/7 beats 8/6-with-padding
     return G, ngroups
 
 
-def _prep(a, q, n):
+def _prep(a, q, n, bytes_per: int = _BYTES_RANK1):
     batch_shape = a.shape[:-2]
     L = a.shape[-2]
     assert q.shape[0] == L, "limb axis must match the moduli table"
     B = int(np.prod(batch_shape)) if batch_shape else 1
     sub = n // LANE
-    G, ngroups = _group(L, n)
+    G, ngroups = _group(L, n, bytes_per)
     Lp = G * ngroups
     a4 = a.reshape(B, L, sub, LANE)
     if Lp != L:
@@ -388,7 +420,7 @@ def pallas_fwd_ntt(a, q, pw, psh, lw, lsh, *, n: int,
     B, L, G, ngroups, sub, a5 = _prep(a, q, n)
     Lp = G * ngroups
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n, G),
+        functools.partial(_fwd_kernel, n, G, False),
         grid=(ngroups, B),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   _xblk(G, sub),
@@ -405,13 +437,42 @@ def pallas_fwd_ntt(a, q, pw, psh, lw, lsh, *, n: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def pallas_fwd_ntt_fp(a, q, pw, psh, flw, fls, *, n: int,
+                      interpret: bool = False):
+    """Batched-only forward NTT with FULL lane-stage twiddle planes
+    (flw/fls: [L, 7, n/128, 128]) — a single lazy-Shoup multiply on lane
+    stages instead of the rank-1 pair. The plane stream (~0.9 MB/limb)
+    amortizes across the batch grid axis (batch iterates innermost, table
+    blocks stay VMEM-resident per limb group), so this wins only at B ≥ 8;
+    at B=1 the extra table traffic loses (docs/NTT_ABLATION.md)."""
+    B, L, G, ngroups, sub, a5 = _prep(a, q, n, _BYTES_FULL)
+    Lp = G * ngroups
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n, G, True),
+        grid=(ngroups, B),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  _xblk(G, sub),
+                  _tblk(G, (sub, LANE)), _tblk(G, (sub, LANE)),
+                  _tblk(G, (LANE_STAGES, sub, LANE)),
+                  _tblk(G, (LANE_STAGES, sub, LANE))],
+        out_specs=_xblk(G, sub),
+        out_shape=jax.ShapeDtypeStruct((B, ngroups, G, sub, LANE),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(_pad_limbs(q.reshape(L, 1), Lp), a5,
+      _pad_limbs(pw, Lp), _pad_limbs(psh, Lp),
+      _pad_limbs(flw, Lp), _pad_limbs(fls, Lp))
+    return out.reshape(B, Lp, n)[:, :L].reshape(a.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
 def pallas_inv_ntt(a, q, pw, psh, lw, lsh, ninv, ninv_sh, *, n: int,
                    interpret: bool = False):
     """Inverse negacyclic NTT of [..., L, n]."""
     B, L, G, ngroups, sub, a5 = _prep(a, q, n)
     Lp = G * ngroups
     out = pl.pallas_call(
-        functools.partial(_inv_kernel, n, G),
+        functools.partial(_inv_kernel, n, G, False),
         grid=(ngroups, B),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   _xblk(G, sub),
@@ -431,11 +492,60 @@ def pallas_inv_ntt(a, q, pw, psh, lw, lsh, ninv, ninv_sh, *, n: int,
     return out.reshape(B, Lp, n)[:, :L].reshape(a.shape)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def pallas_inv_ntt_fp(a, q, pw, psh, flw, fls, ninv, ninv_sh, *, n: int,
+                      interpret: bool = False):
+    """Batched-only inverse NTT with full lane-stage twiddle planes (see
+    pallas_fwd_ntt_fp)."""
+    B, L, G, ngroups, sub, a5 = _prep(a, q, n, _BYTES_FULL)
+    Lp = G * ngroups
+    out = pl.pallas_call(
+        functools.partial(_inv_kernel, n, G, True),
+        grid=(ngroups, B),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  _xblk(G, sub),
+                  _tblk(G, (sub, LANE)), _tblk(G, (sub, LANE)),
+                  _tblk(G, (LANE_STAGES, sub, LANE)),
+                  _tblk(G, (LANE_STAGES, sub, LANE)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=_xblk(G, sub),
+        out_shape=jax.ShapeDtypeStruct((B, ngroups, G, sub, LANE),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(_pad_limbs(q.reshape(L, 1), Lp), a5,
+      _pad_limbs(pw, Lp), _pad_limbs(psh, Lp),
+      _pad_limbs(flw, Lp), _pad_limbs(fls, Lp),
+      _pad_limbs(jnp.asarray(ninv).reshape(L, 1), Lp),
+      _pad_limbs(jnp.asarray(ninv_sh).reshape(L, 1), Lp))
+    return out.reshape(B, Lp, n)[:, :L].reshape(a.shape)
+
+
+# batch size at which the full-plane lane-table variant takes over (its
+# extra plane stream amortizes over the batch grid axis; at B=1 it loses —
+# measured ablation in docs/NTT_ABLATION.md)
+FULL_PLANE_MIN_BATCH = 8
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _gather_lane_planes(tab_w, tab_sh, *, n: int):
+    """[L, n] twiddle tables → full per-stage lane planes
+    ([L, 7, n/128, 128] values + companions) via ONE device gather — no
+    host→device transfer of the ~12.8 MB planes (the tunnel moves
+    ~20 MB/s; host-building these would dominate context setup)."""
+    idx = jnp.asarray(lane_plane_indices(n))            # [7, n]
+    L = tab_w.shape[0]
+    shape = (L, LANE_STAGES, n // LANE, LANE)
+    return (tab_w[:, idx].reshape(shape), tab_sh[:, idx].reshape(shape))
+
+
 class NttKernels:
     """Bound Pallas transforms for one NttContext (tables cached on device).
 
     Drop-in replacements for NttContext.fwd/.inv with identical outputs.
-    Attached by NttContext._attach_pallas on the TPU backend.
+    Attached by NttContext._attach_pallas on the TPU backend. Batched
+    inputs (≥ FULL_PLANE_MIN_BATCH transforms per call) route to the
+    full-plane lane-table kernels; outputs are bit-identical either way.
     """
 
     def __init__(self, ctx):
@@ -451,6 +561,13 @@ class NttKernels:
         self.ilw, self.ils = jnp.asarray(ilw), jnp.asarray(ils)
         self.ninv = jnp.asarray(ninv)
         self.ninv_sh = jnp.asarray(ninv_sh)
+        # full lane planes for the batched variant, built EAGERLY (outside
+        # any trace — in-trace the gather would re-run on every call) from
+        # the context's device-resident ψ^brv tables
+        self.f_flw, self.f_fls = _gather_lane_planes(
+            jnp.asarray(ctx.fwd_tw), jnp.asarray(ctx.fwd_tw_sh), n=ctx.n)
+        self.i_flw, self.i_fls = _gather_lane_planes(
+            jnp.asarray(ctx.inv_tw), jnp.asarray(ctx.inv_tw_sh), n=ctx.n)
 
     def sliced(self, rows) -> "NttKernels":
         """Kernels restricted to the given limb rows, sharing (slicing) this
@@ -460,14 +577,27 @@ class NttKernels:
         view = object.__new__(NttKernels)
         view.n = self.n
         for name in ("q", "fpw", "fps", "flw", "fls", "ipw", "ips",
-                     "ilw", "ils", "ninv", "ninv_sh"):
+                     "ilw", "ils", "ninv", "ninv_sh",
+                     "f_flw", "f_fls", "i_flw", "i_fls"):
             setattr(view, name, getattr(self, name)[idx])
         return view
 
+    @staticmethod
+    def _batch(a) -> int:
+        shape = a.shape[:-2]
+        return int(np.prod(shape)) if shape else 1
+
     def fwd(self, a):
+        if self._batch(a) >= FULL_PLANE_MIN_BATCH:
+            return pallas_fwd_ntt_fp(a, self.q, self.fpw, self.fps,
+                                     self.f_flw, self.f_fls, n=self.n)
         return pallas_fwd_ntt(a, self.q, self.fpw, self.fps, self.flw,
                               self.fls, n=self.n)
 
     def inv(self, a):
+        if self._batch(a) >= FULL_PLANE_MIN_BATCH:
+            return pallas_inv_ntt_fp(a, self.q, self.ipw, self.ips,
+                                     self.i_flw, self.i_fls, self.ninv,
+                                     self.ninv_sh, n=self.n)
         return pallas_inv_ntt(a, self.q, self.ipw, self.ips, self.ilw,
                               self.ils, self.ninv, self.ninv_sh, n=self.n)

@@ -82,6 +82,35 @@ def test_batched_rows():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("n", [256, 2048])
+def test_full_plane_batched_fwd_bit_exact(n):
+    """The batched-only full-plane lane-table variant (single lazy-Shoup
+    multiply on lane stages) must be bit-identical to the stage loop —
+    round-4 lever from docs/NTT_ABLATION.md."""
+    ctx, moduli = _ctx(n, L=3)
+    a = _rand(moduli, n, batch=(8,), seed=4)
+    q, (fpw, fps, *_rest) = _args(ctx, moduli)
+    flw, fls = pn._gather_lane_planes(jnp.asarray(ctx.fwd_tw),
+                                      jnp.asarray(ctx.fwd_tw_sh), n=n)
+    got = pn.pallas_fwd_ntt_fp(jnp.asarray(a), q, fpw, fps, flw, fls, n=n,
+                               interpret=True)
+    want = ctx.fwd(jnp.asarray(a))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_full_plane_batched_inv_bit_exact():
+    n = 256
+    ctx, moduli = _ctx(n, L=3)
+    a = _rand(moduli, n, batch=(8,), seed=5)
+    q, (_, _, _, _, ipw, ips, _, _, ninv, ninv_sh) = _args(ctx, moduli)
+    ilw, ils = pn._gather_lane_planes(jnp.asarray(ctx.inv_tw),
+                                      jnp.asarray(ctx.inv_tw_sh), n=n)
+    got = pn.pallas_inv_ntt_fp(jnp.asarray(a), q, ipw, ips, ilw, ils,
+                               ninv, ninv_sh, n=n, interpret=True)
+    want = ctx.inv(jnp.asarray(a))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_table_cache_keys_by_content_not_identity():
     """Regression: the packed-table cache was keyed by id(ctx); a collected
     context's id can be recycled by a NEW context of a different size,
