@@ -58,7 +58,7 @@ class DistNttContext:
     D:    number of shards along the mesh axis that will carry coefficients
     """
 
-    def __init__(self, ctx, D: int):
+    def __init__(self, ctx, D: int, pipeline_chunks: int = 2):
         n, L = ctx.n, len(ctx.moduli)
         assert n % D == 0 and D & (D - 1) == 0, "D must be a power of two"
         S = n // D
@@ -66,6 +66,18 @@ class DistNttContext:
         self.ctx = ctx
         self.D, self.S, self.n, self.L = D, S, n, L
         self.logD = D.bit_length() - 1
+        # Cross-stage exchange pipelining: the exchange-stage butterfly is
+        # ELEMENTWISE over the local [L, S] block, so the block splits into
+        # `pipeline_chunks` independent (permute → combine) chains per
+        # stage. All chunk permutes are issued before any combine, giving
+        # XLA's async collective scheduler (-start/-done separation on TPU)
+        # compute to overlap each transfer with: chunk c's butterfly math
+        # hides chunk c+1's ppermute, ~(nc−1)/nc of the exchange time once
+        # per-chunk compute ≥ per-chunk transfer. nc=1 restores the
+        # sequential round-3 schedule. (round-4 verdict item 6)
+        assert pipeline_chunks >= 1 and S % pipeline_chunks == 0, \
+            "pipeline_chunks must divide the shard length"
+        self.pipeline_chunks = pipeline_chunks
 
         fwd_tw = np.asarray(ctx.fwd_tw)      # [L, n], stage-m block at [m, 2m)
         fwd_sh = np.asarray(ctx.fwd_tw_sh)
@@ -166,16 +178,31 @@ class DistNttContext:
         L = self.L
         e = jx32
         d = jax.lax.axis_index(axis)
+        nc = self.pipeline_chunks
         for s in range(self.logD):
             m = 1 << s
             t_sh = self.D // (2 * m)
-            partner = jax.lax.ppermute(x, axis, self._pairs(t_sh))
             w = cross_f[s].reshape((L, 1))
             wsh = cross_fs[s].reshape((L, 1))
             is_u = (d % (2 * t_sh)) < t_sh
-            wv = e.mul_shoup(jnp.where(is_u, partner, x), w, wsh, self.q)
-            x = jnp.where(is_u, e.add(x, wv, self.q),
-                          e.sub(partner, wv, self.q))
+
+            def combine(xc, pc):
+                wv = e.mul_shoup(jnp.where(is_u, pc, xc), w, wsh, self.q)
+                return jnp.where(is_u, e.add(xc, wv, self.q),
+                                 e.sub(pc, wv, self.q))
+
+            if nc == 1:
+                x = combine(x, jax.lax.ppermute(x, axis, self._pairs(t_sh)))
+            else:
+                # issue EVERY chunk's exchange before any combine: the
+                # chains are independent, so the combine of chunk c
+                # overlaps the in-flight transfer of chunk c+1
+                chunks = jnp.split(x, nc, axis=-1)
+                partners = [jax.lax.ppermute(c, axis, self._pairs(t_sh))
+                            for c in chunks]
+                x = jnp.concatenate(
+                    [combine(c, p) for c, p in zip(chunks, partners)],
+                    axis=-1)
         return self._local_stages_fwd(x, loc_f, loc_fs, batch)
 
     def inv_local(self, x, cross_i, cross_is, loc_i, loc_is, axis: str):
@@ -184,17 +211,29 @@ class DistNttContext:
         L = self.L
         e = jx32
         d = jax.lax.axis_index(axis)
+        nc = self.pipeline_chunks
         x = self._local_stages_inv(x, loc_i, loc_is, batch)
         for s in range(self.logD - 1, -1, -1):
             m = 1 << s
             t_sh = self.D // (2 * m)
-            partner = jax.lax.ppermute(x, axis, self._pairs(t_sh))
             w = cross_i[s].reshape((L, 1))
             wsh = cross_is[s].reshape((L, 1))
             is_u = (d % (2 * t_sh)) < t_sh
-            s_new = e.add(x, partner, self.q)                    # u-side
-            d_new = e.mul_shoup(e.sub(partner, x, self.q), w, wsh, self.q)
-            x = jnp.where(is_u, s_new, d_new)
+
+            def combine(xc, pc):
+                s_new = e.add(xc, pc, self.q)                    # u-side
+                d_new = e.mul_shoup(e.sub(pc, xc, self.q), w, wsh, self.q)
+                return jnp.where(is_u, s_new, d_new)
+
+            if nc == 1:
+                x = combine(x, jax.lax.ppermute(x, axis, self._pairs(t_sh)))
+            else:
+                chunks = jnp.split(x, nc, axis=-1)
+                partners = [jax.lax.ppermute(c, axis, self._pairs(t_sh))
+                            for c in chunks]
+                x = jnp.concatenate(
+                    [combine(c, p) for c, p in zip(chunks, partners)],
+                    axis=-1)
         return e.mul_shoup(x, self.n_inv, self.n_inv_sh, self.q)
 
     # ------------------------------------------------------------ mesh wrappers

@@ -93,3 +93,41 @@ def test_negacyclic_mul_matches_local():
     got = np.asarray(mul(jnp.asarray(a), jnp.asarray(b)))
     want = np.asarray(ctx.negacyclic_mul(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("nc", [1, 2, 4])
+def test_pipelined_exchanges_bit_exact(nc):
+    """Chunked exchange pipelining (round-4 verdict item 6) must not
+    change a single bit: nc independent (ppermute → butterfly) chains per
+    cross stage, same math."""
+    n, D = 256, 8
+    ctx, moduli = _ctx(n)
+    dist = DistNttContext(ctx, D, pipeline_chunks=nc)
+    a = _rand(moduli, n, seed=7)
+    fwd = jax.jit(dist.make_fwd(_mesh(D)))
+    inv = jax.jit(dist.make_inv(_mesh(D)))
+    got = np.asarray(fwd(jnp.asarray(a)))
+    np.testing.assert_array_equal(got, np.asarray(ctx.fwd(jnp.asarray(a))))
+    back = np.asarray(inv(jnp.asarray(got)))
+    np.testing.assert_array_equal(back, a)
+
+
+def test_pipelined_exchange_census():
+    """The compiled HLO must carry nc independent collective-permutes per
+    cross stage (the overlap opportunity XLA's async scheduler exploits on
+    real ICI), with the SAME total payload bytes as the sequential
+    schedule."""
+    from abc_tpu.parallel.report import collective_report
+
+    n, D = 256, 8
+    ctx, moduli = _ctx(n)
+    a = jnp.asarray(_rand(moduli, n, seed=8))
+    stats = {}
+    for nc in (1, 2):
+        dist = DistNttContext(ctx, D, pipeline_chunks=nc)
+        fwd = jax.jit(dist.make_fwd(_mesh(D)))
+        stats[nc] = collective_report(fwd, a)["collective-permute"]
+    logD = 3
+    assert stats[1]["ops"] == logD          # sequential: 1 permute/stage
+    assert stats[2]["ops"] == 2 * logD      # pipelined: nc permutes/stage
+    assert stats[1]["bytes"] == stats[2]["bytes"]   # same traffic, split
