@@ -174,6 +174,8 @@ def config4_cone_rewriting() -> Dict:
     t0 = time.perf_counter()
     for name, src in (("chi_squared", circuits.chi_squared()),
                       ("sorting_gt16", circuits.sorting_comparator(16)),
+                      ("sorting_gt32", circuits.sorting_comparator(32)),
+                      ("cardio_netlist", circuits.cardio_netlist()),
                       ("sorting_network_4x4", circuits.sorting_network(4, 4))):
         row = {}
         for mode, flow in (("flow", True), ("greedy", False)):

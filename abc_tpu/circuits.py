@@ -67,6 +67,64 @@ def sorting_comparator_inputs(bits: int = 16, a: str = "a", b: str = "b"
     return " ".join(decls)
 
 
+def cardio_netlist(bits: int = 8, conditions: int = 10) -> str:
+    """The cardio risk score as a BOOLEAN netlist (the form Aubry et al.
+    benchmark; the reference's Cardio workload is the arithmetic variant,
+    test/end-to-end/CardioTest.cpp): `conditions` risk flags, each a
+    `bits`-bit greater-than ripple comparator over secret inputs
+    (x{c}_{i} vs t{c}_{i}), summed by a ripple popcount into a 4-bit
+    accumulator, and the final verdict is count > threshold (th_{i}).
+
+    Heterogeneous depth profile (deep comparator chains feeding a deep
+    ripple adder feeding a final comparator) — the structure where
+    minimum-cut cone selection has genuinely different choices from
+    deepest-first greedy."""
+    stmts = []
+    flags = []
+    for c in range(conditions):
+        expr = f"(x{c}_0 & (t{c}_0 ^ 1))"
+        for i in range(1, bits):
+            hi = f"(x{c}_{i} & (t{c}_{i} ^ 1))"
+            eq = f"((x{c}_{i} ^ t{c}_{i} ^ 1) & ({expr}))"
+            expr = f"{hi} ^ {eq}"
+        stmts.append(f"secret int f{c} = {expr};")
+        flags.append(f"f{c}")
+    # ripple popcount: 4-bit accumulator s3..s0, add one flag at a time
+    acc = ["z", "z", "z", "z"]      # s0..s3; z is a secret zero input
+    tmp = 0
+    for c, f in enumerate(flags):
+        carry = f
+        new_acc = []
+        for i in range(4):
+            s_n, c_n = f"s{tmp}_{i}", f"c{tmp}_{i}"
+            stmts.append(f"secret int {s_n} = {acc[i]} ^ {carry};")
+            stmts.append(f"secret int {c_n} = {acc[i]} & {carry};")
+            new_acc.append(s_n)
+            carry = c_n
+        acc = new_acc
+        tmp += 1
+    # verdict: count > threshold (4-bit gt ripple over secret threshold)
+    expr = f"({acc[0]} & (th_0 ^ 1))"
+    for i in range(1, 4):
+        hi = f"({acc[i]} & (th_{i} ^ 1))"
+        eq = f"(({acc[i]} ^ th_{i} ^ 1) & ({expr}))"
+        expr = f"{hi} ^ {eq}"
+    stmts.append(f"secret int risk = {expr};")
+    stmts.append("return risk;")
+    return " ".join(stmts)
+
+
+def cardio_netlist_inputs(bits: int = 8, conditions: int = 10) -> str:
+    decls = ["secret int z = 0;"]
+    for c in range(conditions):
+        for i in range(bits):
+            decls.append(f"secret int x{c}_{i} = {(c + i) % 2};")
+            decls.append(f"secret int t{c}_{i} = {(c * i) % 2};")
+    for i in range(4):
+        decls.append(f"secret int th_{i} = {i % 2};")
+    return " ".join(decls)
+
+
 def sorting_network(k: int = 4, bits: int = 4) -> str:
     """Odd-even transposition sort over k single-expression elements of
     `bits` bits: each comparator's swap flag is the inlined gt chain, and
