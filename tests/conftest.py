@@ -17,3 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache (round-3 verdict weak item 8): the slow tier
+# is dominated by CPU-JAX compiles of reference-scale executables; caching
+# them makes re-runs minutes instead of ~37 min. The 1 s min-compile-time
+# floor (utils/compcache.py) keeps the thousands of small test executables
+# out of the cache.
+from abc_tpu.utils.compcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
