@@ -526,6 +526,38 @@ def pallas_inv_ntt_fp(a, q, pw, psh, flw, fls, ninv, ninv_sh, *, n: int,
 # measured ablation in docs/NTT_ABLATION.md)
 FULL_PLANE_MIN_BATCH = 8
 
+# Trace-time override of the variant selection. Under jax.vmap the batch
+# dimension is invisible to NttKernels (the traced per-example shape is
+# [2..3, L, n]), so vmapped batch workloads would never reach the
+# full-plane kernels on shape evidence alone; vmap's pallas batching rule
+# prepends the batch to the SAME kernel's grid, so forcing full-plane
+# inside the vmapped region gives the amortized-table variant. None =
+# decide by visible batch (default).
+_FULL_PLANE_OVERRIDE = [None]
+
+
+class force_full_plane:
+    """Context manager: route NttKernels transforms to the full-plane
+    (True) or rank-1 (False) kernels regardless of visible batch size.
+    Applies at TRACE time — wrap the jit/vmap construction, e.g.
+
+        with force_full_plane(True):
+            step = jax.jit(jax.vmap(chain))   # batched workload
+
+    Outputs are bit-identical either way; only throughput differs."""
+
+    def __init__(self, on: bool):
+        self.on = on
+
+    def __enter__(self):
+        self.prev = _FULL_PLANE_OVERRIDE[0]
+        _FULL_PLANE_OVERRIDE[0] = self.on
+        return self
+
+    def __exit__(self, *exc):
+        _FULL_PLANE_OVERRIDE[0] = self.prev
+        return False
+
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _gather_lane_planes(tab_w, tab_sh, *, n: int):
@@ -583,19 +615,22 @@ class NttKernels:
         return view
 
     @staticmethod
-    def _batch(a) -> int:
+    def _use_fp(a) -> bool:
+        if _FULL_PLANE_OVERRIDE[0] is not None:
+            return _FULL_PLANE_OVERRIDE[0]
         shape = a.shape[:-2]
-        return int(np.prod(shape)) if shape else 1
+        batch = int(np.prod(shape)) if shape else 1
+        return batch >= FULL_PLANE_MIN_BATCH
 
     def fwd(self, a):
-        if self._batch(a) >= FULL_PLANE_MIN_BATCH:
+        if self._use_fp(a):
             return pallas_fwd_ntt_fp(a, self.q, self.fpw, self.fps,
                                      self.f_flw, self.f_fls, n=self.n)
         return pallas_fwd_ntt(a, self.q, self.fpw, self.fps, self.flw,
                               self.fls, n=self.n)
 
     def inv(self, a):
-        if self._batch(a) >= FULL_PLANE_MIN_BATCH:
+        if self._use_fp(a):
             return pallas_inv_ntt_fp(a, self.q, self.ipw, self.ips,
                                      self.i_flw, self.i_fls, self.ninv,
                                      self.ninv_sh, n=self.n)
