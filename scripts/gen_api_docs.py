@@ -38,7 +38,24 @@ def _doc(obj, indent: str = "") -> str:
     return "\n".join(indent + line for line in d.splitlines())
 
 
-def render_module(mod) -> str:
+def _page(modname: str) -> str:
+    return modname.replace(".", "_") + ".md"
+
+
+def _class_link(cls, registry) -> str:
+    """Markdown link to a class's page+anchor if it lives in abc_tpu."""
+    key = f"{cls.__module__}.{cls.__qualname__}"
+    if key in registry:
+        return f"[`{cls.__qualname__}`]({_page(cls.__module__)}" \
+               f"#class-{cls.__qualname__.lower()})"
+    return f"`{cls.__qualname__}`"
+
+
+def render_module(mod, registry, subclasses) -> str:
+    """registry: {qualified class name: class} over all abc_tpu modules;
+    subclasses: {qualified name: [subclass...]}. Cross-links inheritance
+    both ways — the Doxygen-style relation the round-3 review called out
+    as missing from the flat pages."""
     lines = [f"# `{mod.__name__}`", ""]
     if mod.__doc__:
         lines += [inspect.cleandoc(mod.__doc__), ""]
@@ -49,6 +66,14 @@ def render_module(mod) -> str:
              if inspect.isfunction(o) and o.__module__ == mod.__name__]
     for name, cls in classes:
         lines += [f"## class `{name}`", ""]
+        bases = [b for b in cls.__bases__ if b is not object]
+        if bases:
+            lines += ["Inherits: " +
+                      ", ".join(_class_link(b, registry) for b in bases), ""]
+        subs = subclasses.get(f"{cls.__module__}.{cls.__qualname__}", [])
+        if subs:
+            lines += ["Subclasses: " +
+                      ", ".join(_class_link(s, registry) for s in subs), ""]
         d = _doc(cls)
         if d:
             lines += [d, ""]
@@ -75,33 +100,53 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     import abc_tpu
 
-    pages = []
+    # pass 1: import everything, build the class registry + subclass map
+    mods, pages = [], []
     for info in sorted(pkgutil.walk_packages(abc_tpu.__path__,
                                              prefix="abc_tpu."),
                        key=lambda i: i.name):
         if info.name in SKIP:
             continue
         try:
-            mod = importlib.import_module(info.name)
+            mods.append(importlib.import_module(info.name))
         except Exception as exc:      # environment-gated module: note it
             pages.append((info.name, None, str(exc)[:100]))
-            continue
-        fname = info.name.replace(".", "_") + ".md"
+    registry = {}
+    for mod in mods:
+        for n, o in vars(mod).items():
+            if not n.startswith("_") and inspect.isclass(o) \
+                    and o.__module__ == mod.__name__:
+                registry[f"{o.__module__}.{o.__qualname__}"] = o
+    subclasses = {}
+    for cls in registry.values():
+        for b in cls.__bases__:
+            key = f"{b.__module__}.{b.__qualname__}"
+            if key in registry:
+                subclasses.setdefault(key, []).append(cls)
+    # pass 2: render with cross-links
+    for mod in mods:
+        fname = _page(mod.__name__)
         with open(os.path.join(out_dir, fname), "w") as f:
-            f.write(render_module(mod))
+            f.write(render_module(mod, registry, subclasses))
         first = (inspect.cleandoc(mod.__doc__).splitlines()[0]
                  if mod.__doc__ else "")
-        pages.append((info.name, fname, first))
+        pages.append((mod.__name__, fname, first))
+    pages.sort()
     with open(os.path.join(out_dir, "index.md"), "w") as f:
         f.write("# abc_tpu API reference\n\nGenerated by "
                 "`scripts/gen_api_docs.py` (published by "
                 "`.github/workflows/docs.yml`, the counterpart of the "
-                "reference's Doxygen pipeline).\n\n")
+                "reference's Doxygen pipeline). Class pages cross-link "
+                "inheritance in both directions.\n\n")
         for name, fname, first in pages:
             if fname:
                 f.write(f"- [`{name}`]({fname}) — {first}\n")
             else:
                 f.write(f"- `{name}` — (not importable here: {first})\n")
+        f.write("\n## Class index\n\n")
+        for key in sorted(registry, key=lambda k: k.rsplit(".", 1)[-1]):
+            cls = registry[key]
+            f.write(f"- {_class_link(cls, registry)} — `{cls.__module__}`\n")
     print(f"wrote {len(pages)} module pages to {out_dir}")
 
 
