@@ -258,15 +258,18 @@ class CkksContext:
             self._slot_exponents[i] = g
             g = g * 3 % m
 
-        # CKKS draws uniform AND secret material from one Generator, so the
-        # whole seed is secret-domain (no seeded-key/Serializable contract
-        # here — that is BFV's counter-PRNG path); the domain split still
-        # keeps a shared master seed from correlating BFV public streams
-        # with CKKS secrets.
+        # Same two-domain randomness design as BfvContext (round 4 —
+        # previously CKKS drew uniform material from the host Generator,
+        # making keys draw-ORDER-dependent): uniform RLWE components come
+        # from the counter PRNG at (PUBLIC-domain seed, stream), secrets
+        # and errors from the SECRET domain, so keys are reproducible from
+        # (master seed, key id) alone and the public seed is publishable.
         from abc_tpu.crypto.prng import split_domain
-        self.rng = np.random.default_rng(
-            None if params.seed is None
-            else split_domain(params.seed, "secret"))
+        self._master_seed = params.seed if params.seed is not None else \
+            int(np.random.default_rng().integers(0, 2 ** 63))
+        self._prng_seed = split_domain(self._master_seed, "public")
+        self._sec_seed = split_domain(self._master_seed, "secret")
+        self.rng = np.random.default_rng(self._sec_seed)
         self._keygen()
         self.relin_key: Optional[Tuple] = None
         self.galois_keys: Dict[int, Tuple] = {}
@@ -297,20 +300,32 @@ class CkksContext:
             out[j] = np.mod(coeffs, qj).astype(np.uint32)
         return out
 
-    def _uniform_rns(self, limb_indices: Sequence[int]) -> np.ndarray:
-        cols = []
-        for i in limb_indices:
-            qj = self.params.coeff_modulus[i]
-            cols.append(self.rng.integers(0, qj, size=self.params.n,
-                                          dtype=np.uint64).astype(np.uint32))
-        return np.stack(cols)
+    @property
+    def public_seed(self) -> int:
+        """The PUBLIC-domain seed (see BfvContext.public_seed): regenerates
+        every uniform `a` component; the only seed a seeded-key serializer
+        may publish."""
+        return self._prng_seed
+
+    def _uniform_rns(self, limb_indices: Sequence[int],
+                     stream: str) -> np.ndarray:
+        """Uniform RNS rows from the counter PRNG at (PUBLIC-domain seed,
+        stream/q<i>) — one stream per limb so any limb subset regenerates
+        the identical rows (draw-order independent, same contract as
+        BfvContext._uniform_rns)."""
+        from abc_tpu.crypto.prng import uniform_rns_np
+        rows = [uniform_rns_np(self._prng_seed, f"{stream}/q{i}",
+                               [self.params.coeff_modulus[i]],
+                               self.params.n)[0]
+                for i in limb_indices]
+        return np.stack(rows)
 
     def _keygen(self) -> None:
         L = self.params.L
         full = list(range(self.full))
         self.s_coeffs = self._sample_ternary()
         self.s_ntt_full = self.hqp.fwd(self._lift_signed(self.s_coeffs, full))
-        a_ntt = self._uniform_rns(list(range(L)))
+        a_ntt = self._uniform_rns(list(range(L)), "pk")
         hq = self.hqp.subset(list(range(L)))
         e_ntt = hq.fwd(self._lift_signed(self._sample_error(), list(range(L))))
         as_ntt = hq.pointwise_mul(a_ntt, self.s_ntt_full[:L])
@@ -319,18 +334,25 @@ class CkksContext:
         self._hq = hq
 
     # ------------------------------------------------------------------ keys
-    def _make_ksk(self, s2_ntt_full: np.ndarray) -> Tuple:
+    def _make_ksk(self, s2_ntt_full: np.ndarray, stream: str) -> Tuple:
         """Full-level switching key [α, L+k, n] (one row per hybrid digit);
-        leveled use slices rows and limb columns. Host numpy (trace-safe)."""
+        leveled use slices rows and limb columns. Host numpy (trace-safe).
+        `stream` ("relin" / "galois_<g>") keys the uniform + error draws,
+        so the key is reproducible from (master seed, key id) regardless
+        of materialization order."""
+        from abc_tpu.crypto.prng import seeded_rng
         h = self.hqp
         n, full = self.params.n, self.full
         alpha = self.params.num_ks_digits
+        rng_e = seeded_rng(self._sec_seed, f"{stream}/e")
+        errors = np.clip(
+            np.rint(rng_e.normal(0.0, self.params.error_std, (alpha, n))),
+            -19, 19).astype(np.int64)
         ksk_b = np.empty((alpha, full, n), dtype=np.uint32)
         ksk_a = np.empty((alpha, full, n), dtype=np.uint32)
         for j in range(alpha):
-            a_j = self._uniform_rns(list(range(full)))
-            e_j = h.fwd(self._lift_signed(self._sample_error(),
-                                          list(range(full))))
+            a_j = self._uniform_rns(list(range(full)), f"{stream}/d{j}")
+            e_j = h.fwd(self._lift_signed(errors[j], list(range(full))))
             term = h.engine.mul(s2_ntt_full, self._ks_factors_full[j],
                                 h.q, h.mu)
             ksk_b[j] = h.add(h.sub(h.neg(h.pointwise_mul(a_j, self.s_ntt_full)),
@@ -360,7 +382,7 @@ class CkksContext:
             return ov["relin"]
         if self.relin_key is None:
             s2 = self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
-            self.relin_key = self._make_ksk(s2)
+            self.relin_key = self._make_ksk(s2, "relin")
         return self.relin_key
 
     def get_galois_key(self, g: int) -> Tuple:
@@ -377,7 +399,7 @@ class CkksContext:
             # to coefficient-automorphism + forward NTT, minus the NTT.
             s_tau_ntt = np.ascontiguousarray(
                 self.s_ntt_full[..., self._galois_perm_eval(g)])
-            self.galois_keys[g] = self._make_ksk(s_tau_ntt)
+            self.galois_keys[g] = self._make_ksk(s_tau_ntt, f"galois_{g}")
         return self.galois_keys[g]
 
     def _galois_perm_host(self, g: int):

@@ -247,3 +247,26 @@ def test_hybrid_checkpoint_roundtrip(tmp_path):
     got = np.real(ctx2.decode(ctx2.decrypt(
         ctx2.multiply(ct, ct))))[:2]
     np.testing.assert_allclose(got, [20.25, 1.0], rtol=1e-3, atol=1e-3)
+
+
+def test_key_material_is_order_independent():
+    """Round 4: CKKS keys now come from the counter PRNG at (seed, key id)
+    — two equal-seed contexts must produce IDENTICAL keys regardless of
+    the order keys are materialized in (previously the shared host
+    Generator made key values depend on build order)."""
+    import numpy as np
+    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+
+    p = CkksParams.create(512, levels=2, engine="np64", seed=99)
+    c1 = CkksContext(p)
+    c2 = CkksContext(CkksParams.create(512, levels=2, engine="np64",
+                                       seed=99))
+    g = 3
+    r1 = c1.get_relin_key()          # relin first, then galois
+    k1 = c1.get_galois_key(g)
+    k2 = c2.get_galois_key(g)        # galois first, then relin
+    r2 = c2.get_relin_key()
+    for a, b in ((r1, r2), (k1, k2)):
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert c1.public_seed == c2.public_seed != 99
