@@ -253,11 +253,70 @@ def census(n):
             "sublane_stage_alu": sub_stage, "lane_stage_alu": lane_stage}
 
 
+def batched_ab(quick: bool = False):
+    """Reproduce the round-4 batched A/B (docs/NTT_ABLATION.md §round 4):
+    rank-1 vs full-plane kernels at B ∈ {1, 8, 16, 64}, median of 5
+    alternating two-point estimates per variant."""
+    from abc_tpu.ops.pallas_ntt import pallas_fwd_ntt, pallas_fwd_ntt_fp
+
+    params = BfvParams.create(N, engine="jx32", seed=5)
+    moduli = list(params.coeff_modulus)
+    L = len(moduli)
+    ntt = NttContext(N, moduli, engine="jx32")
+    k = NttKernels(ntt)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.integers(0, min(moduli), size=(L, N),
+                                  dtype=np.uint64).astype(np.uint32))
+    bf = L * (N // 2) * (N.bit_length() - 1)
+
+    def fwd_rank1(v):
+        return pallas_fwd_ntt(v, k.q, k.fpw, k.fps, k.flw, k.fls, n=N)
+
+    def fwd_fp(v):
+        return pallas_fwd_ntt_fp(v, k.q, k.fpw, k.fps, k.f_flw, k.f_fls,
+                                 n=N)
+
+    cache = {}
+
+    def per_fwd(name, fn, B, chain):
+        xB = x0 if B == 1 else jnp.broadcast_to(x0[None], (B,) + x0.shape)
+
+        def make(c):
+            if (name, B, c) not in cache:
+                @jax.jit
+                def ch(v):
+                    return jax.lax.fori_loop(0, c, lambda i, u: fn(u), v)
+                cache[(name, B, c)] = ch
+            return cache[(name, B, c)]
+        t_f = timed(make(chain), xB)
+        t_h = timed(make(chain // 2), xB)
+        return (t_f - t_h) / (chain // 2) / B
+
+    k_est = 3 if quick else 5
+    for B, chain in ((1, 2048), (8, 256), (16, 128), (64, 32)):
+        if quick:
+            chain //= 4
+        row = {}
+        for name, fn in (("rank1", fwd_rank1), ("fp", fwd_fp)):
+            ests = sorted(per_fwd(name, fn, B, chain) for _ in range(k_est))
+            med = ests[len(ests) // 2]
+            row[name] = {"us_per_fwd": round(med * 1e6, 2),
+                         "Gbf_s": round(bf / med / 1e9, 1),
+                         "spread_us": [round(ests[0] * 1e6, 2),
+                                       round(ests[-1] * 1e6, 2)]}
+        print(json.dumps({"B": B, **row}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--chain", type=int, default=0)
+    ap.add_argument("--batched", action="store_true",
+                    help="run the rank-1 vs full-plane batched A/B instead")
     args = ap.parse_args()
+    if args.batched:
+        batched_ab(args.quick)
+        return
 
     backend = jax.default_backend()
     chain = args.chain or (64 if args.quick else 256)
