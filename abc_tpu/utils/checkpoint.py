@@ -50,31 +50,58 @@ def load_circuit(path: str):
     return CompiledProgram(ast=ast, tcv=tcv, input_types=input_types)
 
 
-def save_context(ctx: BfvContext, path: str, include_secret_key: bool = True
-                 ) -> None:
-    """Persist a BFV context: params + keys (npz)."""
+def save_context(ctx: BfvContext, path: str, include_secret_key: bool = True,
+                 seeded: bool = False) -> None:
+    """Persist a BFV context: params + keys (npz).
+
+    seeded=True: SEAL Serializable<PublicKey>-style compression — the
+    uniform `a` halves of the public and switching keys are OMITTED and
+    regenerated on load from the context's PUBLIC-domain seed (they are
+    exactly the counter-PRNG draws at (public_seed, stream), crypto/prng).
+    Halves the key payload. Safe to publish: the secret/error draws live
+    in a separate seed domain (round-4 advisor fix), so the stored public
+    seed reveals nothing about them."""
     arrays: Dict[str, np.ndarray] = {
         "pk_b_ntt": np.asarray(ctx.pk_b_ntt),
-        "pk_a_ntt": np.asarray(ctx.pk_a_ntt),
     }
+    if not seeded:
+        arrays["pk_a_ntt"] = np.asarray(ctx.pk_a_ntt)
     if include_secret_key:
         arrays["s_coeffs"] = ctx.s_coeffs
     if ctx.relin_key is not None:
-        arrays["relin_b"], arrays["relin_a"] = (np.asarray(k)
-                                                for k in ctx.relin_key)
+        arrays["relin_b"] = np.asarray(ctx.relin_key[0])
+        if not seeded:
+            arrays["relin_a"] = np.asarray(ctx.relin_key[1])
     for g, (kb, ka) in ctx.galois_keys.items():
         arrays[f"galois_{g}_b"] = np.asarray(kb)
-        arrays[f"galois_{g}_a"] = np.asarray(ka)
+        if not seeded:
+            arrays[f"galois_{g}_a"] = np.asarray(ka)
     meta = dict(n=ctx.params.n, coeff_modulus=ctx.params.coeff_modulus,
                 plain_modulus=ctx.params.plain_modulus,
                 engine=ctx.params.engine, seed=ctx.params.seed,
                 error_std=ctx.params.error_std,
                 ks_digits=ctx.params.ks_digits)
+    if seeded:
+        meta["public_seed"] = ctx.public_seed
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
+def _regen_ksk_a(pub_seed: int, stream: str, moduli, n: int,
+                 alpha: int) -> np.ndarray:
+    """Regenerate a switching key's uniform `a` digits [α, full, n] from
+    the public seed (BfvContext._make_ksk_host's draws, verbatim)."""
+    from abc_tpu.crypto.prng import uniform_rns_np
+    return np.stack([uniform_rns_np(pub_seed, f"{stream}/d{i}", moduli, n)
+                     for i in range(alpha)])
+
+
 def load_context(path: str) -> BfvContext:
-    """Restore a BFV context with its exact keys (no re-keygen)."""
+    """Restore a BFV context with its exact keys (no re-keygen); seeded
+    checkpoints regenerate the uniform key halves from the stored public
+    seed."""
+    from abc_tpu.crypto.bfv import _ksk_stream
+    from abc_tpu.crypto.prng import uniform_rns_np
+
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
     params = BfvParams(n=meta["n"],
@@ -84,18 +111,31 @@ def load_context(path: str) -> BfvContext:
                        error_std=meta["error_std"],
                        ks_digits=meta.get("ks_digits", 1))
     ctx = BfvContext(params)
+    pub = meta.get("public_seed")
     if "s_coeffs" in data:
         ctx.s_coeffs = data["s_coeffs"]
         full = ctx.full
         ctx.s_ntt_full = ctx.hqp.fwd(ctx._lift_signed(ctx.s_coeffs, full))
     ctx.pk_b_ntt = data["pk_b_ntt"]
-    ctx.pk_a_ntt = data["pk_a_ntt"]
+    n = params.n
+    L = params.L
+    alpha = params.num_ks_digits
+    full_mods = params.coeff_modulus
+    if "pk_a_ntt" in data:
+        ctx.pk_a_ntt = data["pk_a_ntt"]
+    else:
+        ctx.pk_a_ntt = uniform_rns_np(pub, "pk", full_mods[:L], n)
     if "relin_b" in data:
-        ctx.relin_key = (data["relin_b"], data["relin_a"])
+        a = data["relin_a"] if "relin_a" in data else \
+            _regen_ksk_a(pub, _ksk_stream("relin"), full_mods, n, alpha)
+        ctx.relin_key = (data["relin_b"], a)
     for key in data.files:
         if key.startswith("galois_") and key.endswith("_b"):
             g = int(key.split("_")[1])
-            ctx.galois_keys[g] = (data[f"galois_{g}_b"], data[f"galois_{g}_a"])
+            a = data[f"galois_{g}_a"] if f"galois_{g}_a" in data else \
+                _regen_ksk_a(pub, _ksk_stream(f"galois_{g}"), full_mods, n,
+                             alpha)
+            ctx.galois_keys[g] = (data[f"galois_{g}_b"], a)
     return ctx
 
 
