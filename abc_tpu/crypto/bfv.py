@@ -36,6 +36,8 @@ from abc_tpu.crypto.ntt import NttContext, bit_reverse
 from abc_tpu.crypto.numthy import centered, modinv
 from abc_tpu.crypto.params import BfvParams
 from abc_tpu.crypto.prng import derive_key, split_domain, uniform_rns_np
+
+_SLOT_MAP_CACHE: Dict[int, np.ndarray] = {}
 from abc_tpu.ops.modarith import barrett_mu
 from abc_tpu.utils.errors import RuntimeExecutionError
 
@@ -514,6 +516,8 @@ class BfvContext:
         matrix batching layout: slot (r, i) sits at evaluation point
         ψ^(±3^i mod 2n); forward-NTT position p evaluates at ψ^(2·brv(p)+1)
         (convention verified in tests/test_ntt.py)."""
+        if n in _SLOT_MAP_CACHE:      # pure function of n; ~9 ms to build
+            return _SLOT_MAP_CACHE[n]
         from abc_tpu.crypto.ntt import _bit_reverse_vec
         logn = n.bit_length() - 1
         m = 2 * n
@@ -524,6 +528,7 @@ class BfvContext:
             pos[i] = brv[(g - 1) // 2]            # row 0: exponent 3^i
             pos[n // 2 + i] = brv[(m - g - 1) // 2]   # row 1: exponent -3^i
             g = g * 3 % m
+        _SLOT_MAP_CACHE[n] = pos
         return pos
 
     def encode(self, values: Sequence[int]) -> Plaintext:
