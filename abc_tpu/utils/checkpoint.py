@@ -149,31 +149,53 @@ def load_ciphertext(path: str) -> BfvCiphertext:
 
 # --------------------------------------------------------------------- CKKS
 
-def save_ckks_context(ctx, path: str, include_secret_key: bool = True
-                      ) -> None:
-    """Persist a CKKS context: params + keys (npz)."""
+def save_ckks_context(ctx, path: str, include_secret_key: bool = True,
+                      seeded: bool = False) -> None:
+    """Persist a CKKS context: params + keys (npz). seeded=True omits the
+    uniform `a` halves (regenerated from the public-domain seed on load —
+    CKKS keys come from the counter PRNG since round 4, same contract as
+    the BFV seeded checkpoints)."""
     arrays: Dict[str, np.ndarray] = {
         "pk_b_ntt": np.asarray(ctx.pk_b_ntt),
-        "pk_a_ntt": np.asarray(ctx.pk_a_ntt),
     }
+    if not seeded:
+        arrays["pk_a_ntt"] = np.asarray(ctx.pk_a_ntt)
     if include_secret_key:
         arrays["s_coeffs"] = ctx.s_coeffs
     if ctx.relin_key is not None:
-        arrays["relin_b"], arrays["relin_a"] = (np.asarray(k)
-                                                for k in ctx.relin_key)
+        arrays["relin_b"] = np.asarray(ctx.relin_key[0])
+        if not seeded:
+            arrays["relin_a"] = np.asarray(ctx.relin_key[1])
     for g, (kb, ka) in ctx.galois_keys.items():
         arrays[f"galois_{g}_b"] = np.asarray(kb)
-        arrays[f"galois_{g}_a"] = np.asarray(ka)
+        if not seeded:
+            arrays[f"galois_{g}_a"] = np.asarray(ka)
     meta = dict(n=ctx.params.n, coeff_modulus=ctx.params.coeff_modulus,
                 scale=ctx.params.scale, engine=ctx.params.engine,
                 seed=ctx.params.seed, error_std=ctx.params.error_std,
                 ks_digits=ctx.params.ks_digits)
+    if seeded:
+        meta["public_seed"] = ctx.public_seed
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
+def _regen_ckks_a(pub_seed: int, stream: str, moduli, n: int,
+                  alpha: int) -> np.ndarray:
+    """CKKS uniform key digits [α, full, n]: per-limb streams
+    (CkksContext._uniform_rns convention: '<stream>/d<j>/q<i>')."""
+    from abc_tpu.crypto.prng import uniform_rns_np
+    return np.stack([
+        np.stack([uniform_rns_np(pub_seed, f"{stream}/d{j}/q{i}",
+                                 [moduli[i]], n)[0]
+                  for i in range(len(moduli))])
+        for j in range(alpha)])
+
+
 def load_ckks_context(path: str):
-    """Restore a CKKS context with its exact keys (no re-keygen)."""
+    """Restore a CKKS context with its exact keys (no re-keygen); seeded
+    checkpoints regenerate the uniform halves from the public seed."""
     from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    from abc_tpu.crypto.prng import uniform_rns_np
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
     params = CkksParams(n=meta["n"],
@@ -182,18 +204,31 @@ def load_ckks_context(path: str):
                         seed=meta["seed"], error_std=meta["error_std"],
                         ks_digits=meta.get("ks_digits", 1))
     ctx = CkksContext(params)
+    pub = meta.get("public_seed")
+    mods = params.coeff_modulus
+    n = params.n
+    alpha = params.num_ks_digits
     if "s_coeffs" in data:
         ctx.s_coeffs = data["s_coeffs"]
         full = list(range(params.L + params.ks_digits))
         ctx.s_ntt_full = ctx.hqp.fwd(ctx._lift_signed(ctx.s_coeffs, full))
     ctx.pk_b_ntt = data["pk_b_ntt"]
-    ctx.pk_a_ntt = data["pk_a_ntt"]
+    if "pk_a_ntt" in data:
+        ctx.pk_a_ntt = data["pk_a_ntt"]
+    else:
+        ctx.pk_a_ntt = np.stack(
+            [uniform_rns_np(pub, f"pk/q{i}", [mods[i]], n)[0]
+             for i in range(params.L)])
     if "relin_b" in data:
-        ctx.relin_key = (data["relin_b"], data["relin_a"])
+        a = data["relin_a"] if "relin_a" in data else \
+            _regen_ckks_a(pub, "relin", mods, n, alpha)
+        ctx.relin_key = (data["relin_b"], a)
     for key in data.files:
         if key.startswith("galois_") and key.endswith("_b"):
             g = int(key.split("_")[1])
-            ctx.galois_keys[g] = (data[f"galois_{g}_b"], data[f"galois_{g}_a"])
+            a = data[f"galois_{g}_a"] if f"galois_{g}_a" in data else \
+                _regen_ckks_a(pub, f"galois_{g}", mods, n, alpha)
+            ctx.galois_keys[g] = (data[f"galois_{g}_b"], a)
     return ctx
 
 

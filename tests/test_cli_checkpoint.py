@@ -177,3 +177,27 @@ def test_seeded_checkpoint_without_params_seed(tmp_path):
                           np.asarray(ctx.pk_a_ntt))
     assert np.array_equal(np.asarray(back.relin_key[1]),
                           np.asarray(ctx.relin_key[1]))
+
+
+def test_seeded_ckks_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    from abc_tpu.utils.checkpoint import (
+        load_ckks_context, save_ckks_context,
+    )
+
+    ctx = CkksContext(CkksParams.create(512, levels=2, engine="np64",
+                                        seed=55))
+    ctx.get_relin_key()
+    g = 3
+    ctx.get_galois_key(g)
+    p = str(tmp_path / "ckks.npz")
+    save_ckks_context(ctx, p, seeded=True)
+    back = load_ckks_context(p)
+    assert np.array_equal(np.asarray(back.pk_a_ntt),
+                          np.asarray(ctx.pk_a_ntt))
+    assert np.array_equal(np.asarray(back.relin_key[1]),
+                          np.asarray(ctx.relin_key[1]))
+    assert np.array_equal(np.asarray(back.galois_keys[g][1]),
+                          np.asarray(ctx.galois_keys[g][1]))
