@@ -96,6 +96,7 @@ def threefry2x32(xp, k0, k1, c0, c1):
     counters (the jitted key-generation paths pass one key word pair per
     digit row). Matches the reference cipher round-for-round (5 groups of
     4 rounds, key injection after each group)."""
+    import contextlib
     if isinstance(k0, (int, np.integer)):
         k0 = xp.uint32(k0)
     else:
@@ -104,16 +105,21 @@ def threefry2x32(xp, k0, k1, c0, c1):
         k1 = xp.uint32(k1)
     else:
         k1 = k1.astype(xp.uint32)
-    ks = (k0, k1, k0 ^ k1 ^ xp.uint32(_PARITY))
-    x0 = c0.astype(xp.uint32) + ks[0]
-    x1 = c1.astype(xp.uint32) + ks[1]
-    for g in range(5):
-        for r in _ROTATIONS[g % 2]:
-            x0 = x0 + x1
-            x1 = _rotl(xp, x1, r)
-            x1 = x1 ^ x0
-        x0 = x0 + ks[(g + 1) % 3]
-        x1 = x1 + ks[(g + 2) % 3] + xp.uint32(g + 1)
+    # uint32 wraparound is the cipher's modular arithmetic — silence
+    # numpy's scalar-overflow RuntimeWarning (jnp never warns)
+    guard = np.errstate(over="ignore") if xp is np \
+        else contextlib.nullcontext()
+    with guard:
+        ks = (k0, k1, k0 ^ k1 ^ xp.uint32(_PARITY))
+        x0 = c0.astype(xp.uint32) + ks[0]
+        x1 = c1.astype(xp.uint32) + ks[1]
+        for g in range(5):
+            for r in _ROTATIONS[g % 2]:
+                x0 = x0 + x1
+                x1 = _rotl(xp, x1, r)
+                x1 = x1 ^ x0
+            x0 = x0 + ks[(g + 1) % 3]
+            x1 = x1 + ks[(g + 2) % 3] + xp.uint32(g + 1)
     return x0, x1
 
 
