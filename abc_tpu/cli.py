@@ -186,12 +186,23 @@ def main(argv=None) -> int:
                          "(fleet protocol uses NUM_RUNS=10, benchmarks.yml:27)")
     ap.add_argument("--engine", default="np64", choices=["np64", "jx32"],
                     help="modarith engine for the bfv backend")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the run to DIR "
+                         "(open with TensorBoard/Perfetto; the per-op "
+                         "observability layer SURVEY.md §5 calls for)")
     args = ap.parse_args(argv)
 
     from abc_tpu.utils.compcache import enable_persistent_cache
     enable_persistent_cache()
-    result = run_benchmark(args.benchmark, args.backend, args.slots, args.runs,
-                           args.engine)
+    import contextlib
+    if args.profile:
+        import jax
+        trace_cm = jax.profiler.trace(args.profile)
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        result = run_benchmark(args.benchmark, args.backend, args.slots,
+                               args.runs, args.engine)
     outputs = result.pop("_outputs", {})
     header = "t_keygen,t_input_encryption,t_computation,t_decryption"
     row = ",".join(f"{result[k]:.3f}" for k in header.split(","))
