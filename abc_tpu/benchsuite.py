@@ -366,7 +366,13 @@ def config6_laplace_n16384_e2e() -> Dict:
                     "program_setup_ms (no reference CSV column). "
                     "t_decryption is ~1 ms of device compute + two tunnel "
                     "round trips on this rig's remote TPU; on a locally "
-                    "attached chip the transfer term is microseconds"}
+                    "attached chip the transfer term is microseconds. "
+                    "t_computation is a min-of-3 SINGLE-dispatch timing "
+                    "and therefore still folds this rig's fixed ~22 ms "
+                    "tunnel dispatch in (conservative — the on-device "
+                    "compute is ~22-35 ms; chaining is not used here "
+                    "because the phase is the reference's one-shot CSV "
+                    "protocol, unlike the suite's throughput configs)"}
 
 
 def _chain_ops_per_s_1arg(step, arg0, chain, repeats=3):  # pragma: no cover
