@@ -420,9 +420,11 @@ class BfvContext:
         s2_all = np.zeros((K_pad, full, n), dtype=np.uint32)
         for j, kid in enumerate(key_ids):
             s2_all[j] = self._ksk_target_host(kid)
+        # ONE batched transfer for all host operands: separate jnp.asarray
+        # calls cost a full tunnel round trip each (~10-25 ms)
+        k0d, k1d, e_dev, s2_dev = jax.device_put((k0s, k1s, errors, s2_all))
         outs = _ksk_batch_jit(moduli, K_pad)(
-            jnp.asarray(k0s), jnp.asarray(k1s), jnp.asarray(errors),
-            jax.device_put(s2_all), self._dev_s_ntt_full,
+            k0d, k1d, e_dev, s2_dev, self._dev_s_ntt_full,
             self._tab["ks_factors"], self._tab["q_full"],
             self._tab["mu_full"], self.ntt_qp.fwd_tw, self.ntt_qp.fwd_tw_sh)
         return {kid: outs[j] for j, kid in enumerate(key_ids)}
