@@ -414,17 +414,32 @@ class BfvContext:
             for i in range(alpha):
                 k0s[j, i], k1s[j, i] = derive_key(self._prng_seed,
                                                   f"{stream}/d{i}")
-        errors = np.zeros((K_pad, alpha, n), dtype=np.int32)
+        # errors as int8 (|e| ≤ 19): 4× fewer host→device bytes than i32
+        errors = np.zeros((K_pad, alpha, n), dtype=np.int8)
         for j, stream in enumerate(streams[:K]):
-            errors[j] = self._ksk_errors(stream).astype(np.int32)
-        s2_all = np.zeros((K_pad, full, n), dtype=np.uint32)
+            errors[j] = self._ksk_errors(stream).astype(np.int8)
+        # Target secrets are computed ON DEVICE from the resident
+        # s_ntt_full: s² for relin (one pointwise mul), τ_g(s) via the
+        # evaluation-domain permutation for galois keys — the permutation
+        # INDICES [K_pad, n] int32 (~1 MB) replace the old s2_all payload
+        # ([K_pad, full, n] ≈ 15.7 MB at n=16384, the dominant and most
+        # jitter-prone term of t_keygen on the 30-200 MB/s tunnel).
+        perms = np.zeros((K_pad, n), dtype=np.int32)
+        is_relin = np.zeros((K_pad, 1, 1), dtype=bool)
+        identity = np.arange(n, dtype=np.int32)
         for j, kid in enumerate(key_ids):
-            s2_all[j] = self._ksk_target_host(kid)
+            if kid == "relin":
+                is_relin[j] = True
+                perms[j] = identity
+            else:
+                g = int(kid[len("galois_"):])
+                perms[j] = self._galois_perm_eval(g).astype(np.int32)
         # ONE batched transfer for all host operands: separate jnp.asarray
         # calls cost a full tunnel round trip each (~10-25 ms)
-        k0d, k1d, e_dev, s2_dev = jax.device_put((k0s, k1s, errors, s2_all))
+        k0d, k1d, e_dev, perm_dev, rel_dev = jax.device_put(
+            (k0s, k1s, errors, perms, is_relin))
         outs = _ksk_batch_jit(moduli, K_pad)(
-            k0d, k1d, e_dev, s2_dev, self._dev_s_ntt_full,
+            k0d, k1d, e_dev, perm_dev, rel_dev, self._dev_s_ntt_full,
             self._tab["ks_factors"], self._tab["q_full"],
             self._tab["mu_full"], self.ntt_qp.fwd_tw, self.ntt_qp.fwd_tw_sh)
         return {kid: outs[j] for j, kid in enumerate(key_ids)}
@@ -1116,17 +1131,25 @@ def _ksk_batch_jit(moduli: Tuple[int, ...], K_pad: int):
     was a separate ~25 ms dispatch on the tunneled TPU: 2K slices for a
     10-key program cost ~500 ms of the measured t_keygen)."""
     def make():
-        def build(k0s, k1s, e_i32, s2_all, s_ntt, factors, q_full, mu_full,
-                  fwd_tw, fwd_tw_sh):
+        def build(k0s, k1s, e_i8, perms, is_relin, s_ntt, factors, q_full,
+                  mu_full, fwd_tw, fwd_tw_sh):
+            import jax.numpy as jnp
             from abc_tpu.crypto.ntt import _fwd_stages
             from abc_tpu.crypto.prng import uniform_rns_jx_keys
             from abc_tpu.ops.modarith import jx32 as e
-            n = e_i32.shape[-1]
+            n = e_i8.shape[-1]
             q = q_full.reshape(1, 1, -1, 1)
             mu = mu_full.reshape(1, 1, -1, 1)
             a = uniform_rns_jx_keys(k0s, k1s, moduli, n)   # [K, α, full, n]
-            e_lift = _lift_signed_u32(e_i32, q_full)
+            e_lift = _lift_signed_u32(e_i8.astype(jnp.int32), q_full)
             e_ntt = _fwd_stages(e, e_lift, fwd_tw, fwd_tw_sh, q_full)
+            # target secrets in-jit (see _build_keys_batch): s² for relin,
+            # τ_g(s) as the eval-domain gather for galois keys
+            q2 = q_full.reshape(-1, 1)
+            mu2 = mu_full.reshape(-1, 1)
+            s2 = e.mul(s_ntt, s_ntt, q2, mu2)              # [full, n]
+            tau = jnp.moveaxis(jnp.take(s_ntt, perms, axis=1), 1, 0)
+            s2_all = jnp.where(is_relin, s2[None], tau)    # [K, full, n]
             term = e.mul(s2_all[:, None], factors[None], q, mu)
             b = e.add(e.sub(e.neg(e.mul(a, s_ntt[None, None], q, mu), q),
                             e_ntt, q), term, q)
