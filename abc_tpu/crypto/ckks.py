@@ -310,15 +310,15 @@ class CkksContext:
     def _uniform_rns(self, limb_indices: Sequence[int],
                      stream: str) -> np.ndarray:
         """Uniform RNS rows from the counter PRNG at (PUBLIC-domain seed,
-        stream/q<i>) — one stream per limb so any limb subset regenerates
-        the identical rows (draw-order independent, same contract as
-        BfvContext._uniform_rns)."""
+        stream): ONE [full, n] draw over the whole base, row-sliced to the
+        requested limbs — any limb subset regenerates identical rows, and
+        the scheme matches BfvContext's exactly, so the device keygen path
+        (uniform_rns_jx_keys) and the seeded-checkpoint regeneration are
+        shared between the schemes."""
         from abc_tpu.crypto.prng import uniform_rns_np
-        rows = [uniform_rns_np(self._prng_seed, f"{stream}/q{i}",
-                               [self.params.coeff_modulus[i]],
-                               self.params.n)[0]
-                for i in limb_indices]
-        return np.stack(rows)
+        full = uniform_rns_np(self._prng_seed, stream,
+                              self.params.coeff_modulus, self.params.n)
+        return np.ascontiguousarray(full[list(limb_indices)])
 
     def _keygen(self) -> None:
         L = self.params.L

@@ -179,16 +179,9 @@ def save_ckks_context(ctx, path: str, include_secret_key: bool = True,
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
-def _regen_ckks_a(pub_seed: int, stream: str, moduli, n: int,
-                  alpha: int) -> np.ndarray:
-    """CKKS uniform key digits [α, full, n]: per-limb streams
-    (CkksContext._uniform_rns convention: '<stream>/d<j>/q<i>')."""
-    from abc_tpu.crypto.prng import uniform_rns_np
-    return np.stack([
-        np.stack([uniform_rns_np(pub_seed, f"{stream}/d{j}/q{i}",
-                                 [moduli[i]], n)[0]
-                  for i in range(len(moduli))])
-        for j in range(alpha)])
+# CKKS uniform key digits share BfvContext's draw scheme (one [full, n]
+# stream per digit, round 4) — the BFV regeneration helper applies as-is.
+_regen_ckks_a = _regen_ksk_a
 
 
 def load_ckks_context(path: str):
@@ -216,9 +209,8 @@ def load_ckks_context(path: str):
     if "pk_a_ntt" in data:
         ctx.pk_a_ntt = data["pk_a_ntt"]
     else:
-        ctx.pk_a_ntt = np.stack(
-            [uniform_rns_np(pub, f"pk/q{i}", [mods[i]], n)[0]
-             for i in range(params.L)])
+        ctx.pk_a_ntt = np.ascontiguousarray(
+            uniform_rns_np(pub, "pk", mods, n)[:params.L])
     if "relin_b" in data:
         a = data["relin_a"] if "relin_a" in data else \
             _regen_ckks_a(pub, "relin", mods, n, alpha)
