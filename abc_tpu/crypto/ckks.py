@@ -201,6 +201,7 @@ class CkksContext:
             for r, qr in enumerate(moduli):
                 fac[j, r, 0] = (P * w) % qr
         self._ks_factors_full = fac
+        host["ks_factors"] = fac
 
         # per-level digit fast-base-conversion tables (k ≥ 2): digit groups
         # intersected with the active limbs; short/partial digits pad with
@@ -332,6 +333,9 @@ class CkksContext:
         self.pk_b_ntt = hq.sub(hq.neg(as_ntt), e_ntt)
         self.pk_a_ntt = a_ntt
         self._hq = hq
+        if self._on_device:
+            import jax
+            self._dev_s_ntt_full = jax.device_put(self.s_ntt_full)
 
     # ------------------------------------------------------------------ keys
     def _make_ksk(self, s2_ntt_full: np.ndarray, stream: str) -> Tuple:
@@ -360,6 +364,54 @@ class CkksContext:
             ksk_a[j] = a_j
         return ksk_b, ksk_a
 
+    def _make_ksk_device(self, stream: str, g) -> Tuple:
+        """Device-built switching key (jx32): reuses BfvContext's batched
+        composition verbatim — the uniform digits regenerate in-jit from
+        (public seed, stream), the target secret (s² for relin, τ_g(s) for
+        galois) derives from the device-resident s_ntt_full, and only the
+        int8 error samples cross the host→device boundary. Bit-identical
+        to the host _make_ksk (cross-engine test)."""
+        import jax
+        from abc_tpu.crypto.bfv import _ksk_batch_jit
+        from abc_tpu.crypto.prng import derive_key, seeded_rng
+        n, alpha = self.params.n, self.params.num_ks_digits
+        moduli = tuple(self.params.coeff_modulus)
+        K_pad = 2
+        k0s = np.zeros((K_pad, alpha), dtype=np.uint32)
+        k1s = np.zeros((K_pad, alpha), dtype=np.uint32)
+        for row, st in enumerate((stream, "pad/0")):
+            for i in range(alpha):
+                k0s[row, i], k1s[row, i] = derive_key(self._prng_seed,
+                                                      f"{st}/d{i}")
+        rng_e = seeded_rng(self._sec_seed, f"{stream}/e")
+        errors = np.zeros((K_pad, alpha, n), dtype=np.int8)
+        errors[0] = np.clip(
+            np.rint(rng_e.normal(0.0, self.params.error_std, (alpha, n))),
+            -19, 19).astype(np.int8)
+        perms = np.zeros((K_pad, n), dtype=np.int32)
+        is_relin = np.zeros((K_pad, 1, 1), dtype=bool)
+        if g is None:
+            is_relin[0] = True
+            perms[0] = np.arange(n, dtype=np.int32)
+        else:
+            perms[0] = self._galois_perm_eval(g).astype(np.int32)
+        k0d, k1d, e_dev, p_dev, r_dev = jax.device_put(
+            (k0s, k1s, errors, perms, is_relin))
+        outs = _ksk_batch_jit(moduli, K_pad)(
+            k0d, k1d, e_dev, p_dev, r_dev, self._dev_s_ntt_full,
+            self._tab["ks_factors"], self._tab["q_full"],
+            self._tab["mu_full"], self.ntt_qp.fwd_tw, self.ntt_qp.fwd_tw_sh)
+        return outs[0]
+
+    def _build_ksk(self, stream: str, g, s2_host) -> Tuple:
+        """Route to the device builder when available and trace-clean
+        (in-trace device builds would cache tracers); host numpy else."""
+        if self._on_device:
+            from abc_tpu.utils.tracing import trace_state_clean
+            if trace_state_clean():
+                return self._make_ksk_device(stream, g)
+        return self._make_ksk(s2_host(), stream)
+
     # key plumbing for whole-program jit — see BfvContext.record_key_requests
     def record_key_requests(self, store) -> None:
         self._key_requests = store
@@ -381,8 +433,10 @@ class CkksContext:
         if ov and "relin" in ov:
             return ov["relin"]
         if self.relin_key is None:
-            s2 = self.hqp.pointwise_mul(self.s_ntt_full, self.s_ntt_full)
-            self.relin_key = self._make_ksk(s2, "relin")
+            self.relin_key = self._build_ksk(
+                "relin", None,
+                lambda: self.hqp.pointwise_mul(self.s_ntt_full,
+                                               self.s_ntt_full))
         return self.relin_key
 
     def get_galois_key(self, g: int) -> Tuple:
@@ -397,9 +451,10 @@ class CkksContext:
             # s_ntt_full (same identity as BfvContext._ksk_target_host:
             # τ_g(s)'s eval at ψ^e is s's eval at ψ^{e·g}) — bit-identical
             # to coefficient-automorphism + forward NTT, minus the NTT.
-            s_tau_ntt = np.ascontiguousarray(
-                self.s_ntt_full[..., self._galois_perm_eval(g)])
-            self.galois_keys[g] = self._make_ksk(s_tau_ntt, f"galois_{g}")
+            self.galois_keys[g] = self._build_ksk(
+                f"galois_{g}", g,
+                lambda: np.ascontiguousarray(
+                    self.s_ntt_full[..., self._galois_perm_eval(g)]))
         return self.galois_keys[g]
 
     def _galois_perm_host(self, g: int):

@@ -270,3 +270,21 @@ def test_key_material_is_order_independent():
         assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
         assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
     assert c1.public_seed == c2.public_seed != 99
+
+
+def test_device_keygen_bit_exact_vs_host():
+    """Round 4: jx32 CKKS contexts build switching keys ON DEVICE through
+    BfvContext's batched composition; the result must equal the np64 host
+    build bit-for-bit (same counter-PRNG streams, same error draws, same
+    target-secret identity)."""
+    import numpy as np
+    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+
+    pn = CkksParams.create(512, levels=2, engine="np64", seed=77)
+    pj = CkksParams.create(512, levels=2, engine="jx32", seed=77)
+    cn, cj = CkksContext(pn), CkksContext(pj)
+    g = 3
+    for a, b in ((cn.get_relin_key(), cj.get_relin_key()),
+                 (cn.get_galois_key(g), cj.get_galois_key(g))):
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
