@@ -314,3 +314,22 @@ def test_encrypt_many_batched_bit_exact_vs_np64():
         assert np.array_equal(w.data, np.asarray(g.data))
     # and decrypt round-trips on the device path
     assert c_jx.decode(c_jx.decrypt(got[0]))[:3] == [1, 2, 3]
+
+
+def test_device_key_arrays_bit_exact_vs_host():
+    """Round 4: the jx32 batched device key composition (in-jit uniform
+    regeneration + device-derived target secrets) must produce the SAME
+    key arrays as the np64 host loop — asserted directly on the key
+    material, not just through the op pipeline."""
+    def keys(engine):
+        ctx = BfvContext(BfvParams.create(1024, engine=engine, seed=19,
+                                          ks_digits=2))
+        g = pow(3, 1, 2 * 1024)
+        ks = ctx.materialize_keys(["relin", f"galois_{g}"])
+        return {k: (np.asarray(v[0]), np.asarray(v[1]))
+                for k, v in ks.items()}
+    host, dev = keys("np64"), keys("jx32")
+    assert host.keys() == dev.keys()
+    for k in host:
+        assert np.array_equal(host[k][0], dev[k][0]), k
+        assert np.array_equal(host[k][1], dev[k][1]), k
