@@ -1,15 +1,16 @@
 """Benchmark harness — prints ONE JSON line carrying the BASELINE.json
 headline metrics (the driver records the last line in BENCH_r{N}.json):
 
-  value / vs_baseline  : BFV n=8192 batched ct-ct multiply+relinearization
-                         throughput (BASELINE config 2); baseline = SEAL on
-                         the reference's m5n.xlarge, ~40 ops/s (documented
-                         stand-in; the reference publishes no numbers,
-                         BASELINE.md, examples/main.cpp:39-46).
-  "ntt"                : RNS-NTT butterflies/s/chip @ n=16384 — the first
-                         metric named by BASELINE.json — measured on the
-                         Pallas fused-butterfly kernel over the full L=14
-                         limb chain, plus % of the VPU speed-of-light.
+  value / vs_baseline  : RNS-NTT butterflies/s/chip @ n=16384 L=14 at B=1
+                         — the first metric BASELINE.json names — as the
+                         MEDIAN of K_EST independent two-point estimates,
+                         with min/max spread (round-4 protocol: single
+                         estimates drift ±10%% on this rig). Baseline =
+                         SEAL CPU NTT stand-in (BASELINE.md).
+  batch curves         : NTT Gbf/s and ct mult+relin ops/s at
+                         B ∈ {1, 8, 16, 64} (B ≥ 8 rides the full-plane
+                         lane-table kernels; mult+relin B>1 are vmapped
+                         dependent chains — BASELINE's "batched" metric).
   "suite"              : the five BASELINE staged configs (cardio-on-dummy,
                          mult+relin, batched hamming w/ rotations, cone
                          rewriting, CKKS n=32768) plus config 6 — encrypted
