@@ -80,6 +80,12 @@ def render_module(mod, registry, subclasses) -> str:
         for mname, m in sorted(vars(cls).items()):
             if mname.startswith("_") and mname != "__init__":
                 continue
+            if isinstance(m, property):
+                lines += [f"### `{name}.{mname}` *(property)*", ""]
+                md = _doc(m.fget) if m.fget else ""
+                if md:
+                    lines += [md, ""]
+                continue
             if inspect.isfunction(m):
                 lines += [f"### `{name}.{mname}{_sig(m)}`", ""]
                 md = _doc(m)
