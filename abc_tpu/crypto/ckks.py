@@ -670,8 +670,28 @@ class CkksContext:
         if hit is not None and hit[0] is ksk_b_full:   # ids recycle: verify
             return hit[1]
         alpha = self._alpha_at(level)
-        dev = (self._dev(ksk_b_full[:alpha][:, cols_idx]),
-               self._dev(ksk_a_full[:alpha][:, cols_idx]))
+        if isinstance(ksk_b_full, np.ndarray):
+            dev = (self._dev(ksk_b_full[:alpha][:, cols_idx]),
+                   self._dev(ksk_a_full[:alpha][:, cols_idx]))
+        else:
+            # device-BUILT key (round 4): cols_idx is always the two
+            # contiguous ranges [0, level) ∪ [L, L+k) (_ks_cols), so basic
+            # slices + concat replace the eager fancy-index gather — which
+            # measured ~1 s of first-use XLA compile per (key, level) on
+            # the tunneled chip
+            import jax.numpy as jnp
+            L, k = self.params.L, self.params.ks_digits
+            assert np.array_equal(
+                cols_idx, np.concatenate([np.arange(level),
+                                          np.arange(L, L + k)]))
+
+            def cut(arr):
+                a = arr[:alpha]
+                if level == L:
+                    return a
+                return jnp.concatenate([a[:, :level], a[:, L:L + k]],
+                                       axis=1)
+            dev = (cut(ksk_b_full), cut(ksk_a_full))
         from abc_tpu.utils.tracing import trace_state_clean
         if trace_state_clean():            # in-trace values are tracers
             cache[ck] = (ksk_b_full, dev)
