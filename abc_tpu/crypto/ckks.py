@@ -92,6 +92,15 @@ class CkksParams:
     def create(n: int, levels: int = 3, engine: str = "np64",
                seed: Optional[int] = None, scale_bits: int = 25,
                ks_digits: int = 1) -> "CkksParams":
+        """Preset with 30-bit primes. Precision note: after a rescale the
+        scale drops to 2^(2·scale_bits − 30), and rotation/relin noise is
+        ~2^17 absolute (n·B_err) — at the default scale_bits=25 a
+        post-rescale ciphertext carries only ~2^20 scale, so rotations on
+        it see ~10-15%% relative error (measured; engine-independent).
+        Workloads that rotate AFTER rescaling should use scale_bits≈29 so
+        the scale is roughly prime-sized and stays put across rescales
+        (the SEAL/Lattigo convention); the default keeps headroom for
+        multiply-heavy, rotate-early circuits."""
         from abc_tpu.crypto.params import check_modulus_budget
         if ks_digits < 1 or ks_digits > levels:
             raise ValueError(f"ks_digits must be in [1, levels={levels}]")
