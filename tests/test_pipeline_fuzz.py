@@ -1,0 +1,119 @@
+"""Deterministic pipeline fuzz: random DSL programs must produce IDENTICAL
+decrypted outputs whether compiled with every optimization on (CTES +
+unrolling + DSE + vectorizer + cone rewriting) or with everything off.
+
+This is the semantics-preservation property each pass asserts piecewise in
+its own matrix tests, checked end-to-end over a program space none of the
+hand-written cases cover. Seeded generator — failures reproduce exactly.
+"""
+
+import random
+
+import pytest
+
+from abc_tpu.parser import Parser
+from abc_tpu.passes.pipeline import (
+    CompileOptions, Compiler, input_types_from_ast,
+)
+from abc_tpu.runtime.dummy import DummyCiphertextFactory
+from abc_tpu.runtime.executor import RuntimeVisitor
+from abc_tpu.runtime.values import AbstractCiphertext
+
+
+def gen_program(rng: random.Random):
+    """(inputs_src, program_src, output_src, scalar_mixed): a random
+    straight-line-ish program over secret vectors and plain scalars using
+    the constructs every pass supports (arithmetic, literal index reads,
+    rotate, plain for loops, plain if conditions, accumulator updates).
+
+    scalar_mixed: True when an index-read SCALAR flowed back into the
+    vector accumulator — per the secret-index contract (executor
+    _eval_index_access: ct[i] ≡ rotate(ct, i), "slots other than 0 carry
+    rotated garbage"), only slot 0 is defined for such programs, and the
+    two pipelines may legitimately lay the garbage out differently."""
+    nvec = rng.randint(1, 3)
+    veclen = rng.choice([4, 8])
+    inputs = []
+    for v in range(nvec):
+        vals = [rng.randint(0, 20) for _ in range(veclen)]
+        inputs.append(f"secret int v{v} = {{{','.join(map(str, vals))}}};")
+    plain_k = rng.randint(2, 5)
+    inputs.append(f"int k = {plain_k};")
+
+    stmts = [f"secret int acc = v0;"]
+    scalars = ["acc"]
+    scalar_mixed = False
+    tmp = 0
+    for _ in range(rng.randint(2, 6)):
+        kind = rng.randrange(5)
+        src = f"v{rng.randrange(nvec)}"
+        if kind == 0:     # elementwise arithmetic update
+            op = rng.choice(["+", "-", "*"])
+            stmts.append(f"acc = acc {op} {src};")
+        elif kind == 1:   # rotate mix
+            steps = rng.randint(-3, 3)
+            stmts.append(f"acc = acc + rotate({src}, {steps});")
+        elif kind == 2:   # literal index read into a fresh scalar
+            idx = rng.randrange(veclen)
+            name = f"t{tmp}"
+            tmp += 1
+            stmts.append(f"secret int {name} = {src}[{idx}] * {rng.randint(1, 3)};")
+            scalars.append(name)
+            stmts.append(f"acc = acc + {name};")
+            scalar_mixed = True
+        elif kind == 3:   # plain for loop accumulating index reads
+            name = f"t{tmp}"
+            tmp += 1
+            hi = rng.randint(2, veclen)
+            stmts.append(f"secret int {name} = 0;")
+            stmts.append(
+                f"for (int i = 0; i < {hi}; i = i + 1) "
+                f"{{ {name} = {name} + {src}[i]; }}")
+            scalars.append(name)
+            stmts.append(f"acc = acc - {name};")
+            scalar_mixed = True
+        else:             # plain-condition if
+            thr = rng.randint(0, 6)
+            stmts.append(
+                f"if (k > {thr}) {{ acc = acc + {rng.randint(1, 4)}; }}")
+    stmts.append("return acc;")
+    return " ".join(inputs), " ".join(stmts), "out = acc;", scalar_mixed
+
+
+def run_with(inputs_src, program_src, output_src, options):
+    input_ast = Parser.parse(inputs_src)
+    output_ast = Parser.parse(output_src)
+    compiled = Compiler(options).compile_source(
+        program_src, input_types_from_ast(input_ast))
+    factory = DummyCiphertextFactory(slots=32)
+    rv = RuntimeVisitor(factory, input_ast, compiled.secret_tainted)
+    rv.execute_ast(compiled.ast)
+    out = []
+    for name, value in rv.get_output(output_ast):
+        if isinstance(value, AbstractCiphertext):
+            out.append((name, factory.decrypt(value)))
+        else:
+            out.append((name, list(value.values)))
+    return out
+
+
+ALL_ON = CompileOptions(ctes=True, loop_unrolling=True, vectorize=True,
+                        cone_rewriting=True, dead_store_elimination=True)
+ALL_OFF = CompileOptions(ctes=False, loop_unrolling=False, vectorize=False,
+                         cone_rewriting=False, dead_store_elimination=False)
+
+
+@pytest.mark.parametrize("seed", range(100))
+def test_optimized_pipeline_preserves_semantics(seed):
+    rng = random.Random(1000 + seed)
+    inputs_src, program_src, output_src, scalar_mixed = gen_program(rng)
+    base = run_with(inputs_src, program_src, output_src, ALL_OFF)
+    opt = run_with(inputs_src, program_src, output_src, ALL_ON)
+    if scalar_mixed:
+        # only slot 0 is defined once index-read scalars mix in
+        base = [(n, v[:1]) for n, v in base]
+        opt = [(n, v[:1]) for n, v in opt]
+    assert base == opt, (
+        f"seed {seed}: optimized pipeline diverged\n"
+        f"inputs: {inputs_src}\nprogram: {program_src}\n"
+        f"base={base}\nopt={opt}")
