@@ -33,6 +33,22 @@ from abc_tpu.utils.errors import CompilerError
 VariableValueMap = Dict[ScopedIdentifier, Optional[AbstractExpression]]
 
 
+def _safe_to_reeval(expr: AbstractExpression) -> bool:
+    """True when re-evaluating `expr` at a LATER program point provably
+    yields the variable's current value: only expressions with no
+    variable/index/call references qualify (literal arithmetic).
+
+    The reference substitutes the raw tracked expression unconditionally
+    (SecretBranchingVisitor.cpp:34-67), which is unsound the moment the
+    expression references mutated state — `r = r + 1; if (sN) {...}`
+    emitted a mux whose false side re-ADDED the 1 (found by
+    tests/test_pipeline_fuzz.py, round 4). Falling back to a plain
+    Variable reference is always correct for initialized variables."""
+    from abc_tpu.ast_ir.nodes import Call, IndexAccess
+    return not any(isinstance(x, (Variable, IndexAccess, Call))
+                   for x in expr.iter_preorder())
+
+
 def create_dependent_assignment(target_id: str,
                                 condition: AbstractExpression,
                                 true_value: Optional[AbstractExpression],
@@ -120,7 +136,14 @@ class SecretBranchingVisitor(ScopedVisitor):
     # --- unsupported branch bodies -------------------------------------------
     def visit_For(self, node: For) -> None:
         self._unsupported_seen = True
+        before = dict(self.expression_values)
         super().visit_For(node)
+        # loop-body recordings are not straight-line values (the body runs
+        # 0..N times): any entry the loop changed is now only "the variable
+        # holds its current value" (None → Variable-reference fallback)
+        for sid, expr in list(self.expression_values.items()):
+            if sid not in before or expr is not before[sid]:
+                self.expression_values[sid] = None
 
     def visit_Return(self, node: Return) -> None:
         if node.value is not None:
@@ -154,7 +177,20 @@ class SecretBranchingVisitor(ScopedVisitor):
             raise CompilerError(
                 f"no secret-tainting information for condition node {cond_id}")
         if not self.tainted[cond_id] or self._unsupported_seen:
-            return  # plain condition or unsupported body: leave untouched
+            # plain condition or unsupported body: the If stays in the
+            # program, so its branches execute CONDITIONALLY — recordings
+            # made inside them must not survive as known values (a later
+            # secret-if would substitute a value the runtime may never
+            # have assigned). Restore the pre-if map and mark every
+            # branch-touched variable value-unknown.
+            merged = dict(values_before)
+            for m in (values_after_then, values_after_else):
+                for sid, expr in m.items():
+                    if sid not in values_before or \
+                            expr is not values_before[sid]:
+                        merged[sid] = None
+            self.expression_values = merged
+            return
 
         self._delete_current = True
         cond = node.condition
@@ -163,10 +199,14 @@ class SecretBranchingVisitor(ScopedVisitor):
             changed = self._changed_variables(values_before, values_after_then)
             for sid, expr in changed.items():
                 if sid in values_before:
-                    # oldValue: prior expression, or self-reference if the
-                    # variable was declared without a value (ref: :115-123)
+                    # oldValue: prior expression when safe to re-evaluate
+                    # (literal arithmetic only — see _safe_to_reeval), else
+                    # a self-reference, which is also the reference's
+                    # uninitialized-variable emission (ref: :115-123)
                     old = values_before[sid]
-                    old_expr = old.clone() if old is not None else Variable(sid.identifier)
+                    old_expr = old.clone() \
+                        if old is not None and _safe_to_reeval(old) \
+                        else Variable(sid.identifier)
                     assignment = create_dependent_assignment(
                         sid.identifier, cond, expr.clone(), old_expr)
                 else:

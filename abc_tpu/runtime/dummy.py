@@ -70,6 +70,35 @@ class DummyCiphertext(AbstractCiphertext):
     def clone(self) -> "DummyCiphertext":
         return type(self)(self.data.copy(), self.factory)
 
+    # --- relational ops (dummy-only extension) --------------------------------
+    # The secret-branching pass lowers `if (secret cond)` to mux arithmetic
+    # whose CONDITION is an encrypted comparison. Real FHE backends cannot
+    # evaluate comparisons (BFV raises, like SealCiphertext.cpp:241-309);
+    # the plaintext fake backend CAN, which is what lets lowered circuits
+    # run end-to-end in tests (tests/test_pipeline_fuzz.py). Division /
+    # logical-not stay unsupported (the reference's ported matrix pins
+    # them, RuntimeVisitorTest.cpp:383-479).
+    _REL = None   # filled below (Op import ordering)
+
+    def apply_binary_op(self, op, other, self_is_lhs: bool = True):
+        from abc_tpu.utils.operators import Op
+        rel = {Op.LESS: np.less, Op.LESS_EQUAL: np.less_equal,
+               Op.GREATER: np.greater, Op.GREATER_EQUAL: np.greater_equal,
+               Op.EQUAL: np.equal, Op.NOTEQUAL: np.not_equal}
+        fn = rel.get(op)
+        if fn is None:
+            return super().apply_binary_op(op, other, self_is_lhs)
+        from abc_tpu.runtime.values import unwrap_value
+        other = unwrap_value(other)
+        if isinstance(other, DummyCiphertext):
+            rhs = other.data
+        elif isinstance(other, Cleartext):
+            rhs = self._plain(other)
+        else:
+            return super().apply_binary_op(op, other, self_is_lhs)
+        a, b = (self.data, rhs) if self_is_lhs else (rhs, self.data)
+        return type(self)(fn(a, b).astype(np.int64), self.factory)
+
 
 class DummyCiphertextFactory(AbstractCiphertextFactory):
     """ref: DummyCiphertextFactory.h; slot count configurable (default 8192

@@ -117,3 +117,64 @@ def test_optimized_pipeline_preserves_semantics(seed):
         f"seed {seed}: optimized pipeline diverged\n"
         f"inputs: {inputs_src}\nprogram: {program_src}\n"
         f"base={base}\nopt={opt}")
+
+
+def gen_scalar_program(rng: random.Random):
+    """Random SCALAR program with secret-condition ifs (the mux-lowering
+    path), plain ifs, loops and arithmetic — plus a pure-Python oracle.
+    Returns (inputs_src, program_src, expected int)."""
+    names = []
+    env = {}
+    inputs = []
+    for i in range(rng.randint(2, 4)):
+        v = rng.randint(0, 9)
+        names.append(f"s{i}")
+        env[f"s{i}"] = v
+        inputs.append(f"secret int s{i} = {v};")
+    kv = rng.randint(0, 9)
+    inputs.append(f"int k = {kv};")
+    env["k"] = kv
+
+    stmts = ["secret int r = s0;"]
+    env["r"] = env["s0"]
+    for _ in range(rng.randint(2, 5)):
+        kind = rng.randrange(4)
+        a = rng.choice(names)
+        if kind == 0:
+            op = rng.choice(["+", "-", "*"])
+            stmts.append(f"r = r {op} {a};")
+            env["r"] = eval(f"env['r'] {op} env[a]")
+        elif kind == 1:   # SECRET condition → mux lowering
+            b = rng.choice(names)
+            c = rng.randint(1, 5)
+            stmts.append(f"if ({a} > {b}) {{ r = r + {c}; }}")
+            if env[a] > env[b]:
+                env["r"] += c
+        elif kind == 2:   # secret if/else
+            b = rng.choice(names)
+            c1, c2 = rng.randint(1, 5), rng.randint(1, 5)
+            stmts.append(f"if ({a} < {b}) {{ r = r + {c1}; }} "
+                         f"else {{ r = r - {c2}; }}")
+            env["r"] = env["r"] + c1 if env[a] < env[b] else env["r"] - c2
+        else:             # plain loop scaling
+            hi = rng.randint(1, 3)
+            stmts.append(f"for (int i = 0; i < {hi}; i = i + 1) "
+                         f"{{ r = r + {a}; }}")
+            env["r"] += hi * env[a]
+    stmts.append("return r;")
+    return " ".join(inputs), " ".join(stmts), env["r"]
+
+
+@pytest.mark.parametrize("seed", range(100))
+def test_secret_branching_fuzz_vs_python_oracle(seed):
+    """Secret-condition ifs lower to mux arithmetic (x = c·a + (1−c)·b);
+    the full pipeline's slot-0 result must equal a plain Python evaluation
+    of the source semantics. Secret comparisons are evaluated by the
+    runtime's encrypted-comparison support on the dummy backend."""
+    rng = random.Random(2000 + seed)
+    inputs_src, program_src, expected = gen_scalar_program(rng)
+    out = run_with(inputs_src, program_src, "out = r;", ALL_ON)
+    got = out[0][1][0]
+    assert got == expected, (
+        f"seed {seed}\ninputs: {inputs_src}\nprogram: {program_src}\n"
+        f"got {got}, want {expected}")
