@@ -178,3 +178,46 @@ def test_secret_branching_fuzz_vs_python_oracle(seed):
     assert got == expected, (
         f"seed {seed}\ninputs: {inputs_src}\nprogram: {program_src}\n"
         f"got {got}, want {expected}")
+
+
+def run_with_factory(inputs_src, program_src, output_src, options, factory):
+    input_ast = Parser.parse(inputs_src)
+    output_ast = Parser.parse(output_src)
+    compiled = Compiler(options).compile_source(
+        program_src, input_types_from_ast(input_ast))
+    rv = RuntimeVisitor(factory, input_ast, compiled.secret_tainted)
+    rv.execute_ast(compiled.ast)
+    out = []
+    for name, value in rv.get_output(output_ast):
+        if isinstance(value, AbstractCiphertext):
+            out.append((name, factory.decrypt(value)))
+        else:
+            out.append((name, list(value.values)))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_bfv_engine_fuzz_matches_dummy(seed):
+    """The same random program on the REAL BFV engine (np64, n=1024) and
+    the plaintext dummy backend must decrypt identically — the crypto
+    engine under the whole pipeline, not just per-op matrices.
+    Multiplicative depth is capped at 2 (noise budget at n=1024)."""
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+
+    rng = random.Random(3000 + seed)
+    while True:
+        inputs_src, program_src, output_src, scalar_mixed = gen_program(rng)
+        if program_src.count("acc * ") + program_src.count("* v") <= 2:
+            break
+    dummy = run_with(inputs_src, program_src, output_src, ALL_ON)
+    factory = BfvCiphertextFactory(slots=1024, engine="np64", seed=5)
+    bfv = run_with_factory(inputs_src, program_src, output_src, ALL_ON,
+                           factory)
+    n_cmp = 1 if scalar_mixed else 8
+    # dummy slots=32 vs BFV slots=1024: compare the defined prefix (vector
+    # ops are slot-aligned; rotations only pull in padding beyond it)
+    for (dn, dv), (bn, bv) in zip(dummy, bfv):
+        assert dn == bn
+        assert dv[:n_cmp] == bv[:n_cmp], (
+            f"seed {seed}\nprogram: {program_src}\n"
+            f"dummy={dv[:n_cmp]} bfv={bv[:n_cmp]}")
