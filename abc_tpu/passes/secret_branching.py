@@ -85,6 +85,50 @@ class SecretBranchingVisitor(ScopedVisitor):
         self._unsupported_seen = False
         self._delete_current = False
         self._replacements: List[Assignment] = []
+        # branch-entry snapshots; [0] (the OUTERMOST secret-candidate
+        # branch entry) is the symbolic-substitution baseline: statements
+        # inside these branches are DELETED when the rewrite fires, so
+        # values recorded since [0] exist only symbolically
+        self._branch_entry_stack: List[VariableValueMap] = []
+
+    def _recorded_in_branch(self, sid, expr) -> bool:
+        """True when `expr` is sid's value recorded SINCE the outermost
+        branch entry (symbolic: its source statement will be deleted)."""
+        if not self._branch_entry_stack or expr is None:
+            return False
+        base = self._branch_entry_stack[0]
+        return sid not in base or expr is not base[sid]
+
+    def _substitute_branch_values(self, expr: AbstractExpression
+                                  ) -> AbstractExpression:
+        """Clone `expr` with every variable reference whose value was
+        assigned earlier IN THE CURRENT BRANCH replaced by that (symbolic)
+        value — `{ r = r + 1; r = r * 2; }` must fold to ((r+1)*2), not
+        lose the +1 (the raw-expression storage the reference uses drops
+        every non-final branch assignment; found by the round-4 fuzz)."""
+        if not self._branch_entry_stack:
+            return expr
+
+        def value_for(var: Variable):
+            try:
+                sid = self.current_scope.resolve_identifier(var.identifier)
+            except Exception:
+                return None
+            cur = self.expression_values.get(sid)
+            if self._recorded_in_branch(sid, cur):
+                return cur.clone()
+            return None
+
+        clone = expr.clone()
+        if isinstance(clone, Variable):
+            v = value_for(clone)
+            return v if v is not None else clone
+        for node in list(clone.iter_preorder()):
+            if isinstance(node, Variable) and node is not clone:
+                v = value_for(node)
+                if v is not None:
+                    node.parent.replace_child(node, v)
+        return clone
 
     # --- secret ternary lowering -----------------------------------------------
     def _lower_ternaries(self, expr: Optional[AbstractExpression]
@@ -118,10 +162,13 @@ class SecretBranchingVisitor(ScopedVisitor):
     # --- value tracking -------------------------------------------------------
     def visit_Assignment(self, node: Assignment) -> None:
         node.value = self._lower_ternaries(node.value)
-        # only plain-variable targets are tracked (ref: :228-236)
+        # only plain-variable targets are tracked (ref: :228-236); inside
+        # a branch the recorded value is fully SYMBOLIC (branch-local
+        # assignments substituted — their statements get deleted)
         if isinstance(node.target, Variable):
             sid = self.current_scope.resolve_identifier(node.target.identifier)
-            self.expression_values[sid] = node.value
+            self.expression_values[sid] = \
+                self._substitute_branch_values(node.value)
 
     def visit_VariableDeclaration(self, node: VariableDeclaration) -> None:
         if node.value is not None:
@@ -164,6 +211,7 @@ class SecretBranchingVisitor(ScopedVisitor):
 
         values_before = dict(self.expression_values)
         node.condition.accept(self)
+        self._branch_entry_stack.append(values_before)
         node.then_branch.accept(self)
         values_after_then = dict(self.expression_values)
         values_after_else: VariableValueMap = {}
@@ -171,6 +219,7 @@ class SecretBranchingVisitor(ScopedVisitor):
             self.expression_values = dict(values_before)
             node.else_branch.accept(self)
             values_after_else = dict(self.expression_values)
+        self._branch_entry_stack.pop()
 
         cond_id = node.condition.unique_node_id
         if cond_id not in self.tainted:
@@ -194,19 +243,25 @@ class SecretBranchingVisitor(ScopedVisitor):
 
         self._delete_current = True
         cond = node.condition
+        emitted: List[Assignment] = []
 
         if node.else_branch is None:
             changed = self._changed_variables(values_before, values_after_then)
             for sid, expr in changed.items():
                 if sid in values_before:
-                    # oldValue: prior expression when safe to re-evaluate
-                    # (literal arithmetic only — see _safe_to_reeval), else
-                    # a self-reference, which is also the reference's
+                    # oldValue: the prior expression when it is SYMBOLIC
+                    # (recorded in an enclosing branch — its statement gets
+                    # deleted, so the expression is the only record) or
+                    # safe to re-evaluate (literal arithmetic); else a
+                    # self-reference, which is also the reference's
                     # uninitialized-variable emission (ref: :115-123)
                     old = values_before[sid]
-                    old_expr = old.clone() \
-                        if old is not None and _safe_to_reeval(old) \
-                        else Variable(sid.identifier)
+                    if old is not None and (
+                            self._recorded_in_branch(sid, old)
+                            or _safe_to_reeval(old)):
+                        old_expr = old.clone()
+                    else:
+                        old_expr = Variable(sid.identifier)
                     assignment = create_dependent_assignment(
                         sid.identifier, cond, expr.clone(), old_expr)
                 else:
@@ -214,7 +269,7 @@ class SecretBranchingVisitor(ScopedVisitor):
                     assignment = create_dependent_assignment(
                         sid.identifier, cond, expr.clone(), None)
                 self.expression_values[sid] = assignment.value
-                self._replacements.append(assignment)
+                emitted.append(assignment)
         else:
             then_modified = self._changed_variables(values_before, values_after_then)
             else_modified = self._changed_variables(values_before, values_after_else)
@@ -227,31 +282,82 @@ class SecretBranchingVisitor(ScopedVisitor):
                     assignment = create_dependent_assignment(
                         sid.identifier, cond, expr.clone(), None)
                 self.expression_values[sid] = assignment.value
-                self._replacements.append(assignment)
+                emitted.append(assignment)
             for sid, expr in else_modified.items():
                 assignment = create_dependent_assignment(
                     sid.identifier, cond, None, expr.clone())
                 self.expression_values[sid] = assignment.value
-                self._replacements.append(assignment)
+                emitted.append(assignment)
+        self._replacements.extend(self._emit_with_snapshots(emitted))
+
+    _snap_counter = 0
+
+    def _emit_with_snapshots(self, assignments: List[Assignment]
+                             ) -> List:
+        """The emitted muxes execute SEQUENTIALLY, but every variable
+        reference inside them means the PRE-branch value — a mux reading a
+        variable another mux already overwrote would use the post-mux
+        value ({ r = r + 1; q = q + r; } read r's mux result into q,
+        found by the round-4 fuzz). Emit `__sbN_x = x;` snapshot copies
+        for every changed variable referenced by a DIFFERENT variable's
+        mux, and point those references at the snapshots. The recorded
+        symbolic values (expression_values) stay clean — outer secret-if
+        folds delete these statements wholesale."""
+        if len(assignments) <= 1:
+            return list(assignments)
+        changed = {a.target.identifier for a in assignments}
+        need = set()
+        for a in assignments:
+            for n in a.value.iter_preorder():
+                if isinstance(n, Variable) and n.identifier in changed \
+                        and n.identifier != a.target.identifier:
+                    need.add(n.identifier)
+        if not need:
+            return list(assignments)
+        from abc_tpu.utils.datatype import Datatype, Type
+        SecretBranchingVisitor._snap_counter += 1
+        snap = {ident: f"__sb{self._snap_counter}_{ident}"
+                for ident in sorted(need)}
+        out: List = []
+        for ident, tmp in snap.items():
+            out.append(VariableDeclaration(
+                Datatype(Type.INT, secret=True), Variable(tmp),
+                Variable(ident)))
+        for a in assignments:
+            value = a.value.clone()
+            if isinstance(value, Variable) and value.identifier in snap:
+                value = Variable(snap[value.identifier])
+            else:
+                for n in list(value.iter_preorder()):
+                    if isinstance(n, Variable) and n.identifier in snap \
+                            and n is not value:
+                        n.parent.replace_child(n, Variable(snap[n.identifier]))
+            out.append(Assignment(Variable(a.target.identifier), value))
+        return out
 
     def visit_Block(self, node: Block) -> None:
         # no scope entry: mirrors the reference's flat resolution so branch
-        # variables compare equal across then/else (ref Block visit :184-211)
-        insertion_pos = None
-        for i, stmt in enumerate(node.statements):
+        # variables compare equal across then/else (ref Block visit
+        # :184-211). Replacements are spliced IN PLACE of each deleted If
+        # immediately — the reference's collect-then-insert-at-last-slot
+        # scheme reordered the first If's muxes past any statements between
+        # two secret Ifs in the same block (found by the round-4 fuzz:
+        # `if(..){r=..} r = r + s1; if(..){..}` executed the r update
+        # before the first mux).
+        new_stmts: List = []
+        for stmt in node.statements:
             if stmt is None:
                 continue
             stmt.accept(self)
             if self._delete_current:
                 self._delete_current = False
-                node.statements[i] = None
-                insertion_pos = i
-        if insertion_pos is not None:
-            for offset, repl in enumerate(self._replacements):
-                node.statements.insert(insertion_pos + offset, repl)
-                repl.parent = node
-            self._replacements.clear()
-        node.remove_null_statements()
+                for repl in self._replacements:
+                    repl.parent = node
+                    new_stmts.append(repl)
+                self._replacements.clear()
+            else:
+                new_stmts.append(stmt)
+        node.statements[:] = new_stmts
 
 
 def run_secret_branching(ast, tainted_map, input_identifiers=()):

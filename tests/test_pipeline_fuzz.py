@@ -135,10 +135,11 @@ def gen_scalar_program(rng: random.Random):
     inputs.append(f"int k = {kv};")
     env["k"] = kv
 
-    stmts = ["secret int r = s0;"]
+    stmts = ["secret int r = s0;", "secret int w = s1;"]
     env["r"] = env["s0"]
+    env["w"] = env["s1"]
     for _ in range(rng.randint(2, 5)):
-        kind = rng.randrange(4)
+        kind = rng.randrange(6)
         a = rng.choice(names)
         if kind == 0:
             op = rng.choice(["+", "-", "*"])
@@ -156,6 +157,20 @@ def gen_scalar_program(rng: random.Random):
             stmts.append(f"if ({a} < {b}) {{ r = r + {c1}; }} "
                          f"else {{ r = r - {c2}; }}")
             env["r"] = env["r"] + c1 if env[a] < env[b] else env["r"] - c2
+        elif kind == 3:   # CHAINED assignments in a secret branch (the
+                          # round-4 stale-expression bug class)
+            b = rng.choice(names)
+            c = rng.randint(1, 3)
+            stmts.append(f"if ({a} > {b}) {{ r = r + {c}; r = r * 2; }}")
+            if env[a] > env[b]:
+                env["r"] = (env["r"] + c) * 2
+        elif kind == 4:   # MULTI-VARIABLE secret branch (mux ordering /
+                          # snapshot emission)
+            b = rng.choice(names)
+            stmts.append(f"if ({a} < {b}) {{ r = r + w; w = w + r; }}")
+            if env[a] < env[b]:
+                env["r"] = env["r"] + env["w"]
+                env["w"] = env["w"] + env["r"]
         else:             # plain loop scaling
             hi = rng.randint(1, 3)
             stmts.append(f"for (int i = 0; i < {hi}; i = i + 1) "
