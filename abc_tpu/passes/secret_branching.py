@@ -243,7 +243,22 @@ class SecretBranchingVisitor(ScopedVisitor):
 
         self._delete_current = True
         cond = node.condition
-        emitted: List[Assignment] = []
+        emitted: List = []
+
+        def emit(sid, assignment):
+            """Branch-DECLARED variables lose their declaration with the
+            deleted branch: re-emit as a declaration carrying the mux
+            value (secret — it is a secret-condition mux) so the program
+            stays well-formed; pre-existing variables keep the plain
+            assignment."""
+            self.expression_values[sid] = assignment.value
+            if sid in values_before:
+                emitted.append(assignment)
+            else:
+                from abc_tpu.utils.datatype import Datatype, Type
+                emitted.append(VariableDeclaration(
+                    Datatype(Type.INT, secret=True),
+                    Variable(sid.identifier), assignment.value))
 
         if node.else_branch is None:
             changed = self._changed_variables(values_before, values_after_then)
@@ -268,8 +283,7 @@ class SecretBranchingVisitor(ScopedVisitor):
                     # declared inside the then branch only
                     assignment = create_dependent_assignment(
                         sid.identifier, cond, expr.clone(), None)
-                self.expression_values[sid] = assignment.value
-                emitted.append(assignment)
+                emit(sid, assignment)
         else:
             then_modified = self._changed_variables(values_before, values_after_then)
             else_modified = self._changed_variables(values_before, values_after_else)
@@ -281,13 +295,11 @@ class SecretBranchingVisitor(ScopedVisitor):
                 else:
                     assignment = create_dependent_assignment(
                         sid.identifier, cond, expr.clone(), None)
-                self.expression_values[sid] = assignment.value
-                emitted.append(assignment)
+                emit(sid, assignment)
             for sid, expr in else_modified.items():
                 assignment = create_dependent_assignment(
                     sid.identifier, cond, None, expr.clone())
-                self.expression_values[sid] = assignment.value
-                emitted.append(assignment)
+                emit(sid, assignment)
         self._replacements.extend(self._emit_with_snapshots(emitted))
 
     _snap_counter = 0
@@ -332,7 +344,11 @@ class SecretBranchingVisitor(ScopedVisitor):
                     if isinstance(n, Variable) and n.identifier in snap \
                             and n is not value:
                         n.parent.replace_child(n, Variable(snap[n.identifier]))
-            out.append(Assignment(Variable(a.target.identifier), value))
+            if isinstance(a, VariableDeclaration):    # branch-declared var
+                out.append(VariableDeclaration(
+                    a.datatype, Variable(a.target.identifier), value))
+            else:
+                out.append(Assignment(Variable(a.target.identifier), value))
         return out
 
     def visit_Block(self, node: Block) -> None:

@@ -138,8 +138,9 @@ def gen_scalar_program(rng: random.Random):
     stmts = ["secret int r = s0;", "secret int w = s1;"]
     env["r"] = env["s0"]
     env["w"] = env["s1"]
+    tmp_i = [0]
     for _ in range(rng.randint(2, 5)):
-        kind = rng.randrange(6)
+        kind = rng.randrange(7)
         a = rng.choice(names)
         if kind == 0:
             op = rng.choice(["+", "-", "*"])
@@ -171,6 +172,15 @@ def gen_scalar_program(rng: random.Random):
             if env[a] < env[b]:
                 env["r"] = env["r"] + env["w"]
                 env["w"] = env["w"] + env["r"]
+        elif kind == 5:   # swap via BRANCH-DECLARED temp (declaration
+                          # re-emission + snapshot interplay)
+            b = rng.choice(names)
+            t = f"bt{tmp_i[0]}"
+            tmp_i[0] += 1
+            stmts.append(f"if ({a} > {b}) {{ secret int {t} = r; "
+                         f"r = w; w = {t}; }}")
+            if env[a] > env[b]:
+                env["r"], env["w"] = env["w"], env["r"]
         else:             # plain loop scaling
             hi = rng.randint(1, 3)
             stmts.append(f"for (int i = 0; i < {hi}; i = i + 1) "
