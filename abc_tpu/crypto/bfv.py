@@ -331,6 +331,16 @@ class BfvContext:
         self._dev_s_ntt_full, self._dev_pk_b, self._dev_pk_a = \
             jax.device_put((self.s_ntt_full, self.pk_b_ntt, self.pk_a_ntt))
 
+    def sync_device_keys(self) -> None:
+        """Refresh the jx32 device key copies from the HOST arrays. Must be
+        called after any out-of-band replacement of s_coeffs/s_ntt_full/pk
+        (checkpoint restore): the constructor's fresh keygen installed
+        device copies of DIFFERENT keys, and encrypt/decrypt/device key
+        builds read the device copies (advisor r4 — a restored jx32
+        context silently used the wrong secret). No-op on host engines."""
+        if self._on_device:
+            self._keygen_device(None)
+
     def _ksk_errors(self, stream: str) -> np.ndarray:
         """[α, n] int64 Gaussian errors for one switching key, drawn from a
         generator keyed by (SECRET-domain seed, stream) — order-independent,

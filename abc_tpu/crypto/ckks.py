@@ -346,6 +346,15 @@ class CkksContext:
             import jax
             self._dev_s_ntt_full = jax.device_put(self.s_ntt_full)
 
+    def sync_device_keys(self) -> None:
+        """Refresh the jx32 device secret copy from the HOST arrays after a
+        checkpoint restore — the constructor's fresh keygen installed a
+        device copy of a DIFFERENT secret, and decrypt/device key builds
+        read it (advisor r4). No-op on host engines."""
+        if self._on_device:
+            import jax
+            self._dev_s_ntt_full = jax.device_put(self.s_ntt_full)
+
     # ------------------------------------------------------------------ keys
     def _make_ksk(self, s2_ntt_full: np.ndarray, stream: str) -> Tuple:
         """Full-level switching key [α, L+k, n] (one row per hybrid digit);

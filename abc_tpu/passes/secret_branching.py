@@ -82,14 +82,68 @@ class SecretBranchingVisitor(ScopedVisitor):
         super().__init__()
         self.tainted = secret_tainted_map
         self.expression_values: VariableValueMap = {}
-        self._unsupported_seen = False
         self._delete_current = False
         self._replacements: List[Assignment] = []
-        # branch-entry snapshots; [0] (the OUTERMOST secret-candidate
-        # branch entry) is the symbolic-substitution baseline: statements
-        # inside these branches are DELETED when the rewrite fires, so
-        # values recorded since [0] exist only symbolically
+        # branch-entry snapshots, pushed ONLY for branches that WILL be
+        # rewritten (decided up front by _will_rewrite); [0] (the outermost
+        # such entry) is the symbolic-substitution baseline: statements
+        # inside these branches are guaranteed to be DELETED, so values
+        # recorded since [0] exist only symbolically. A KEPT enclosing if
+        # (plain condition / unsupported body) must NOT contribute a
+        # baseline — its statements still execute, and substituting their
+        # recorded expressions would double-apply updates (advisor r4).
         self._branch_entry_stack: List[VariableValueMap] = []
+        # memoized rewrite decision per If unique_node_id
+        self._rewrite_decision: Dict[str, bool] = {}
+        # declared datatype per variable, so re-emitted declarations keep
+        # the source base type instead of assuming INT (advisor r4)
+        self._datatypes: Dict[ScopedIdentifier, "Datatype"] = {}
+
+    # --- rewrite pre-decision --------------------------------------------------
+    #
+    # Whether an If gets rewritten must be known at BRANCH ENTRY, not after
+    # traversal: symbolic value substitution inside the branch is only sound
+    # when the branch's statements are guaranteed to be deleted. The round-4
+    # advisor found two soundness bugs (double-applied updates under a kept
+    # plain enclosing if; a kept nested plain if silently dropped / crashing
+    # on None) that both trace to deciding "will this branch be deleted?"
+    # with a mutable flag AFTER visiting. The pre-scan below decides it up
+    # front, recursively: a secret-condition If rewrites iff every statement
+    # in its branches is straight-line (no For/Return, ref
+    # SecretBranchingVisitor.cpp:179-182) and every nested If itself
+    # rewrites (a kept nested If would be deleted along with the branch,
+    # silently dropping its conditional semantics).
+
+    def _will_rewrite(self, node: If) -> bool:
+        cached = self._rewrite_decision.get(node.unique_node_id)
+        if cached is not None:
+            return cached
+        cond_id = node.condition.unique_node_id
+        if cond_id not in self.tainted:
+            raise CompilerError(
+                f"no secret-tainting information for condition node {cond_id}")
+        result = bool(self.tainted[cond_id])
+        if result:
+            for branch in (node.then_branch, node.else_branch):
+                if branch is not None and not self._branch_supported(branch):
+                    result = False
+                    break
+        self._rewrite_decision[node.unique_node_id] = result
+        return result
+
+    def _branch_supported(self, block: Block) -> bool:
+        for stmt in block.statements:
+            if stmt is None:
+                continue
+            if isinstance(stmt, (For, Return)):
+                return False
+            if isinstance(stmt, If):
+                if not self._will_rewrite(stmt):
+                    return False
+            elif isinstance(stmt, Block):
+                if not self._branch_supported(stmt):
+                    return False
+        return True
 
     def _recorded_in_branch(self, sid, expr) -> bool:
         """True when `expr` is sid's value recorded SINCE the outermost
@@ -174,15 +228,22 @@ class SecretBranchingVisitor(ScopedVisitor):
         if node.value is not None:
             node.value = self._lower_ternaries(node.value)
         sid = self.declare(node.target.identifier)
-        self.expression_values[sid] = node.value  # None if uninitialized
+        self._datatypes[sid] = node.datatype
+        # the recorded value must be fully pre-branch-symbolic, exactly
+        # like visit_Assignment — an initializer reading a variable already
+        # mutated in the same branch captured the pre-mutation reference
+        # otherwise (advisor r4)
+        self.expression_values[sid] = (
+            self._substitute_branch_values(node.value)
+            if node.value is not None else None)
 
     def visit_FunctionParameter(self, node: FunctionParameter) -> None:
         sid = self.declare(node.identifier)
+        self._datatypes[sid] = node.parameter_type
         self.expression_values[sid] = None
 
-    # --- unsupported branch bodies -------------------------------------------
+    # --- loop bodies ----------------------------------------------------------
     def visit_For(self, node: For) -> None:
-        self._unsupported_seen = True
         before = dict(self.expression_values)
         super().visit_For(node)
         # loop-body recordings are not straight-line values (the body runs
@@ -195,7 +256,6 @@ class SecretBranchingVisitor(ScopedVisitor):
     def visit_Return(self, node: Return) -> None:
         if node.value is not None:
             node.value = self._lower_ternaries(node.value)
-        self._unsupported_seen = True
 
     # --- the rewrite ------------------------------------------------------------
     @staticmethod
@@ -207,11 +267,12 @@ class SecretBranchingVisitor(ScopedVisitor):
                 if sid not in base or expr is not base[sid]}
 
     def visit_If(self, node: If) -> None:
-        self._unsupported_seen = False
+        will_rewrite = self._will_rewrite(node)
 
         values_before = dict(self.expression_values)
         node.condition.accept(self)
-        self._branch_entry_stack.append(values_before)
+        if will_rewrite:
+            self._branch_entry_stack.append(values_before)
         node.then_branch.accept(self)
         values_after_then = dict(self.expression_values)
         values_after_else: VariableValueMap = {}
@@ -219,13 +280,10 @@ class SecretBranchingVisitor(ScopedVisitor):
             self.expression_values = dict(values_before)
             node.else_branch.accept(self)
             values_after_else = dict(self.expression_values)
-        self._branch_entry_stack.pop()
+        if will_rewrite:
+            self._branch_entry_stack.pop()
 
-        cond_id = node.condition.unique_node_id
-        if cond_id not in self.tainted:
-            raise CompilerError(
-                f"no secret-tainting information for condition node {cond_id}")
-        if not self.tainted[cond_id] or self._unsupported_seen:
+        if not will_rewrite:
             # plain condition or unsupported body: the If stays in the
             # program, so its branches execute CONDITIONALLY — recordings
             # made inside them must not survive as known values (a later
@@ -248,16 +306,15 @@ class SecretBranchingVisitor(ScopedVisitor):
         def emit(sid, assignment):
             """Branch-DECLARED variables lose their declaration with the
             deleted branch: re-emit as a declaration carrying the mux
-            value (secret — it is a secret-condition mux) so the program
-            stays well-formed; pre-existing variables keep the plain
-            assignment."""
+            value — the source base type, marked secret (it is a
+            secret-condition mux) — so the program stays well-formed;
+            pre-existing variables keep the plain assignment."""
             self.expression_values[sid] = assignment.value
             if sid in values_before:
                 emitted.append(assignment)
             else:
-                from abc_tpu.utils.datatype import Datatype, Type
                 emitted.append(VariableDeclaration(
-                    Datatype(Type.INT, secret=True),
+                    self._mux_datatype(sid),
                     Variable(sid.identifier), assignment.value))
 
         if node.else_branch is None:
@@ -304,6 +361,24 @@ class SecretBranchingVisitor(ScopedVisitor):
 
     _snap_counter = 0
 
+    def _mux_datatype(self, sid: ScopedIdentifier):
+        """Datatype for a synthesized declaration holding a secret mux of
+        `sid`'s values: the declared base type (bool/float/… preserved,
+        advisor r4), secret=True (the mux condition is secret)."""
+        from abc_tpu.utils.datatype import Datatype, Type
+        dt = self._datatypes.get(sid)
+        return Datatype(dt.type if dt is not None else Type.INT, secret=True)
+
+    def _ident_mux_datatype(self, identifier: str):
+        """_mux_datatype by identifier, resolved in the current (flat)
+        scope — used for snapshot temporaries in _emit_with_snapshots."""
+        from abc_tpu.utils.datatype import Datatype, Type
+        try:
+            sid = self.current_scope.resolve_identifier(identifier)
+        except Exception:
+            return Datatype(Type.INT, secret=True)
+        return self._mux_datatype(sid)
+
     def _emit_with_snapshots(self, assignments: List[Assignment]
                              ) -> List:
         """The emitted muxes execute SEQUENTIALLY, but every variable
@@ -326,14 +401,13 @@ class SecretBranchingVisitor(ScopedVisitor):
                     need.add(n.identifier)
         if not need:
             return list(assignments)
-        from abc_tpu.utils.datatype import Datatype, Type
         SecretBranchingVisitor._snap_counter += 1
         snap = {ident: f"__sb{self._snap_counter}_{ident}"
                 for ident in sorted(need)}
         out: List = []
         for ident, tmp in snap.items():
             out.append(VariableDeclaration(
-                Datatype(Type.INT, secret=True), Variable(tmp),
+                self._ident_mux_datatype(ident), Variable(tmp),
                 Variable(ident)))
         for a in assignments:
             value = a.value.clone()

@@ -136,6 +136,10 @@ def load_context(path: str) -> BfvContext:
                 _regen_ksk_a(pub, _ksk_stream(f"galois_{g}"), full_mods, n,
                              alpha)
             ctx.galois_keys[g] = (data[f"galois_{g}_b"], a)
+    # jx32 contexts keep DEVICE copies of the keys (installed by the
+    # constructor's fresh keygen) — refresh them so encrypt/decrypt/device
+    # key builds use the RESTORED keys, not the constructor's (advisor r4)
+    ctx.sync_device_keys()
     return ctx
 
 
@@ -221,6 +225,7 @@ def load_ckks_context(path: str):
             a = data[f"galois_{g}_a"] if f"galois_{g}_a" in data else \
                 _regen_ckks_a(pub, f"galois_{g}", mods, n, alpha)
             ctx.galois_keys[g] = (data[f"galois_{g}_b"], a)
+    ctx.sync_device_keys()  # refresh jx32 device secret copy (advisor r4)
     return ctx
 
 

@@ -140,7 +140,7 @@ def gen_scalar_program(rng: random.Random):
     env["w"] = env["s1"]
     tmp_i = [0]
     for _ in range(rng.randint(2, 5)):
-        kind = rng.randrange(7)
+        kind = rng.randrange(9)
         a = rng.choice(names)
         if kind == 0:
             op = rng.choice(["+", "-", "*"])
@@ -181,11 +181,37 @@ def gen_scalar_program(rng: random.Random):
                          f"r = w; w = {t}; }}")
             if env[a] > env[b]:
                 env["r"], env["w"] = env["w"], env["r"]
-        else:             # plain loop scaling
+        elif kind == 6:   # plain loop scaling
             hi = rng.randint(1, 3)
             stmts.append(f"for (int i = 0; i < {hi}; i = i + 1) "
                          f"{{ r = r + {a}; }}")
             env["r"] += hi * env[a]
+        elif kind == 7:   # SECRET if nested inside a KEPT plain if — the
+                          # round-4 advisor's double-apply bug class: the
+                          # plain if stays, so its statements execute and
+                          # must not be re-applied symbolically by the
+                          # inner mux
+            b = rng.choice(names)
+            thr = rng.randint(0, 9)
+            c1, c2 = rng.randint(1, 4), rng.randint(2, 9)
+            stmts.append(f"if (k > {thr}) {{ r = r + {c1}; "
+                         f"if ({a} > {b}) {{ r = r * {c2}; }} }}")
+            if env["k"] > thr:
+                env["r"] += c1
+                if env[a] > env[b]:
+                    env["r"] *= c2
+        else:             # branch-declared temp whose INITIALIZER reads a
+                          # variable mutated earlier in the same branch
+                          # (round-4 advisor: raw initializer capture)
+            b = rng.choice(names)
+            c = rng.randint(1, 4)
+            t = f"bt{tmp_i[0]}"
+            tmp_i[0] += 1
+            stmts.append(f"if ({a} < {b}) {{ r = r + {c}; "
+                         f"secret int {t} = r; w = w + {t}; }}")
+            if env[a] < env[b]:
+                env["r"] += c
+                env["w"] += env["r"]
     stmts.append("return r;")
     return " ".join(inputs), " ".join(stmts), env["r"]
 
