@@ -344,6 +344,13 @@ class SlotPlan:
     target: str
     slots: Dict[int, tuple] = field(default_factory=dict)   # slot → normalized
     statement_positions: List[int] = field(default_factory=list)
+    # True when the target held a DEFINED value before the first write
+    # (initialized declaration, input, or earlier whole-variable
+    # assignment). Initialized ciphertexts are fully slot-defined
+    # (last-element padding), so overwriting emissions (x = E) would
+    # clobber live tail slots — only the masked partial-coverage form is
+    # sound (round-5 write-emission fuzz).
+    target_defined: bool = False
 
     def reads(self) -> set:
         out: set = set()
@@ -400,13 +407,20 @@ class Vectorizer:
         # the plain-matrix matvec specialization keys off these
         self._plain_names = {name for name, dt in (input_types or {}).items()
                              if not getattr(dt, "secret", False)}
+        # variables with a defined value before any indexed write: inputs
+        # (always initialized) + initialized declarations (dominate later
+        # writes). Per-block whole-variable assignments are added during
+        # the scan. See SlotPlan.target_defined.
+        self._defined_seed = set((input_types or {}).keys())
 
     # --- public -----------------------------------------------------------
     def run(self, block: Block) -> None:
         for stmt in block.iter_preorder():
-            if isinstance(stmt, VariableDeclaration) and \
-                    not stmt.datatype.secret:
-                self._plain_names.add(stmt.target.identifier)
+            if isinstance(stmt, VariableDeclaration):
+                if not stmt.datatype.secret:
+                    self._plain_names.add(stmt.target.identifier)
+                if stmt.value is not None:
+                    self._defined_seed.add(stmt.target.identifier)
         self._run_blocks(block)
 
     def _run_blocks(self, block: Block) -> None:
@@ -422,6 +436,7 @@ class Vectorizer:
         statements = block.children()
         replacement: List[Optional[object]] = list(statements)
         slot_plans: Dict[str, SlotPlan] = {}
+        defined = set(self._defined_seed)
         literal_values: Dict[str, Optional[int]] = {}
         reduction: Optional[ReductionPlan] = None
         cond_plan: Optional[ConditionPlan] = None
@@ -473,7 +488,20 @@ class Vectorizer:
                         # flush plans this statement reads (except self-reads)
                         for r in reads - {name}:
                             flush_slot_plan(r)
-                        plan = slot_plans.setdefault(name, SlotPlan(name))
+                        plan = slot_plans.get(name)
+                        if plan is None:
+                            # a scalar-LITERAL initializer (`int y = 0;`)
+                            # is the declare-output idiom of the reference
+                            # matvec/reduction specs: every slot holds the
+                            # same broadcast constant, and overwrite
+                            # emissions stay allowed (tail documented via
+                            # aux.valid_slots). Anything else live-defined
+                            # forces the masked partial form.
+                            broadcast_lit = \
+                                literal_values.get(name) is not None
+                            plan = slot_plans[name] = SlotPlan(
+                                name, target_defined=(name in defined
+                                                      and not broadcast_lit))
                         plan.slots[target.index.value] = norm
                         plan.statement_positions.append(pos)
                         literal_values[name] = None
@@ -481,6 +509,7 @@ class Vectorizer:
                 # --- accumulation: reduction plan --------------------------
                 elif isinstance(target, Variable):
                     name = target.identifier
+                    defined.add(name)
                     acc = self._match_accumulation(stmt, name)
                     if acc is not None:
                         op, norm_entry = acc
@@ -608,9 +637,11 @@ class Vectorizer:
         base_slots = groups[base_key]
         outliers = [s for s in slots if s not in base_slots]
 
-        if len(base_slots) < 2:
+        if len(base_slots) < 2 and not plan.target_defined:
             # per-slot templates differ: try the structured patterns
-            # (plain-matrix BSGS first: more specific, O(√k) key switches)
+            # (plain-matrix BSGS first: more specific, O(√k) key switches).
+            # Defined targets are excluded: these emissions overwrite every
+            # slot (see full_overwrite_ok below).
             if self._try_plain_matvec_bsgs(plan, replacement):
                 return
             if self._try_matvec_plan(plan, replacement):
@@ -636,13 +667,22 @@ class Vectorizer:
         base_contiguous = set(base_slots) == set(range(len(base_slots))) \
             and base_slots[0] == 0
 
+        # A target with a live pre-write value is fully slot-defined (any
+        # initializer pads to the slot count): x = E would clobber slots
+        # past the written range, so only the masked partial form — which
+        # preserves unwritten slots exactly like the scalar writes do — is
+        # sound (round-5 write-emission fuzz, seed 7000+0).
+        full_overwrite_ok = not plan.target_defined
+
         stmts: List[Assignment] = []
         target = plan.target
-        if contiguous and base_contiguous and not outliers:
+        if full_overwrite_ok and contiguous and base_contiguous \
+                and not outliers:
             # x = E
             stmts.append(Assignment(Variable(target),
                                     _emit_template(plan.slots, base_slots)))
-        elif contiguous and base_contiguous and outliers:
+        elif full_overwrite_ok and contiguous and base_contiguous \
+                and outliers:
             # x = E; x = x *** mask; x = x +++ outlier_vec
             stmts.append(Assignment(Variable(target),
                                     _emit_template(plan.slots, base_slots)))
