@@ -121,12 +121,30 @@ def _workload(name: str) -> Tuple[str, str, str, CompileOptions]:
 
 
 def run_benchmark(name: str, backend: str = "dummy", slots: int = 1024,
-                  runs: int = 1, engine: str = "np64") -> Dict[str, float]:
+                  runs: int = 1, engine: str = "np64",
+                  auto_params: bool = False) -> Dict[str, float]:
     inputs_src, program_src, output_src, options = _workload(name)
     input_ast = Parser.parse(inputs_src)
     output_ast = Parser.parse(output_src)
     compiled = Compiler(options).compile_source(
         program_src, input_types_from_ast(input_ast))
+
+    chosen_params = None
+    if auto_params:
+        if backend != "bfv":
+            raise SystemExit("--auto-params requires --backend bfv")
+        # noise-driven parameter selection (crypto/noise.py): size the
+        # modulus chain from the compiled circuit instead of the fixed
+        # preset — the reference can only run SEAL's BFVDefault
+        from abc_tpu.crypto.noise import auto_params_report
+        chosen_params, report = auto_params_report(
+            compiled, engine=engine, seed=1)
+        compiled.auto_params = report
+        print(f"auto-params: n={report['n']} ({report['data_limbs']} data "
+              f"limbs, {report['q_bits']} q-bits), predicted noise "
+              f"{report['predicted_noise_bits']} bits, margin "
+              f"{report['predicted_margin_bits']} bits, 128-bit-secure="
+              f"{report['he_standard_128bit']}", file=sys.stderr)
 
     best: Dict[str, float] = {}
     for _ in range(max(1, runs)):
@@ -136,10 +154,17 @@ def run_benchmark(name: str, backend: str = "dummy", slots: int = 1024,
             factory = DummyCiphertextFactory(slots)
         elif backend == "bfv":
             from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
-            # the per-op interpreter is host-bound: np64 by default (eager
-            # dispatch on the tunneled TPU is pathologically slow; the TPU
-            # path is the whole-program jit executor, runtime/jit_executor.py)
-            factory = BfvCiphertextFactory(slots=slots, seed=1, engine=engine)
+            if chosen_params is not None:
+                from abc_tpu.crypto.bfv import BfvContext
+                factory = BfvCiphertextFactory(
+                    context=BfvContext(chosen_params))
+            else:
+                # the per-op interpreter is host-bound: np64 by default
+                # (eager dispatch on the tunneled TPU is pathologically
+                # slow; the TPU path is the whole-program jit executor,
+                # runtime/jit_executor.py)
+                factory = BfvCiphertextFactory(slots=slots, seed=1,
+                                               engine=engine)
         else:
             raise SystemExit(f"unknown backend {backend!r}")
         t_keygen = time.perf_counter() - t0
@@ -186,6 +211,11 @@ def main(argv=None) -> int:
                          "(fleet protocol uses NUM_RUNS=10, benchmarks.yml:27)")
     ap.add_argument("--engine", default="np64", choices=["np64", "jx32"],
                     help="modarith engine for the bfv backend")
+    ap.add_argument("--auto-params", action="store_true",
+                    help="size the BFV parameter set from the compiled "
+                         "circuit's noise profile (crypto/noise.py) "
+                         "instead of the fixed --slots preset; warns when "
+                         "the chosen set is below 128-bit security")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="write a jax.profiler trace of the run to DIR "
                          "(open with TensorBoard/Perfetto; the per-op "
@@ -202,7 +232,8 @@ def main(argv=None) -> int:
         trace_cm = contextlib.nullcontext()
     with trace_cm:
         result = run_benchmark(args.benchmark, args.backend, args.slots,
-                               args.runs, args.engine)
+                               args.runs, args.engine,
+                               auto_params=args.auto_params)
     outputs = result.pop("_outputs", {})
     header = "t_keygen,t_input_encryption,t_computation,t_decryption"
     row = ",".join(f"{result[k]:.3f}" for k in header.split(","))

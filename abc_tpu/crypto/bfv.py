@@ -870,16 +870,56 @@ class BfvContext:
         return BfvCiphertext(xp.stack([c0, c1]))
 
     # ------------------------------------------------------------- key switching
+    # --------------------------------------------- mesh (limb-sharded) mode
+    #
+    # When executing inside a shard_map kernel over a mesh with a "limb"
+    # axis (runtime/jit_executor.py mesh mode), the key-switch
+    # decomposition contraction Σ_i D_i ⊙ ksk_i is sharded across that
+    # axis: each device decomposes + NTTs only its α/limb digit slice
+    # against its local switching-key shard, and one modular psum over ICI
+    # combines the [L+k, n] accumulators (same math as
+    # parallel/sharding.py:sharded_key_switch, applied transparently to
+    # EVERY key switch the compiled program performs — relinearization,
+    # rotations, hoisted rotations).
+
+    _limb_axis: Optional[str] = None      # mesh axis name, set in-kernel
+    _limb_size: int = 1
+
+    def set_limb_sharding(self, axis_name: Optional[str], size: int = 1):
+        """Enable/disable limb-sharded key switching. Call ONLY inside a
+        shard_map kernel body whose mesh has `axis_name`; requires
+        ks_digits == 1 (per-limb digits) and size | L."""
+        if axis_name is not None:
+            if self.params.ks_digits != 1:
+                raise RuntimeExecutionError(
+                    "limb-sharded execution implements the ks_digits=1 "
+                    "layout; build the context with ks_digits=1")
+            if self.params.L % size:
+                raise RuntimeExecutionError(
+                    f"limb mesh axis ({size}) must divide L "
+                    f"({self.params.L})")
+        self._limb_axis = axis_name
+        self._limb_size = size if axis_name is not None else 1
+
     def _decompose_ntt(self, d):
         """RNS-decompose d ([L, n] coeff domain over q) into α hybrid digits
         and lift each to the full base q∪P in NTT domain: D [α, L+k, n].
         This is the EXPENSIVE half of a key switch (α·(L+k) forward NTTs) —
         hoisted_rotations computes it once and reuses it across many Galois
-        elements."""
+        elements. In limb-sharded mode only THIS device's α/limb digit
+        slice is decomposed (D [α/limb, L+k, n])."""
         L, full, n = self.params.L, self.full, self.params.n
         k, alpha = self.params.ks_digits, self.params.num_ks_digits
         xp = _xp(d)
         q_full = self._tab["q_full"].reshape(1, full, 1)
+        if self._limb_axis is not None:
+            import jax
+            Lk = L // self._limb_size
+            i = jax.lax.axis_index(self._limb_axis)
+            d_loc = jax.lax.dynamic_slice_in_dim(d, i * Lk, Lk, axis=0)
+            lifted = xp.broadcast_to(d_loc[:, None, :], (Lk, full, n))
+            lifted = xp.where(lifted >= q_full, lifted - q_full, lifted)
+            return self.ntt_qp.fwd(lifted)
         if k == 1:
             # single-limb digits: the lift is a conditional subtract
             # (uniform 30-bit primes), no multiplies needed
@@ -909,6 +949,15 @@ class BfvContext:
         ta = self.engine.mul(D, ksk_a, q_full, mu_full)
         acc_b = _acc_mod(tb, self._tab["q_full"], self.engine)
         acc_a = _acc_mod(ta, self._tab["q_full"], self.engine)
+        if self._limb_axis is not None:
+            # combine the per-device partial contractions over ICI
+            from abc_tpu.parallel.sharding import _psum_mod
+            acc_b = _psum_mod(acc_b, self._tab["q_full"],
+                              self._tab["mu_full"], self._limb_axis,
+                              self.engine)
+            acc_a = _psum_mod(acc_a, self._tab["q_full"],
+                              self._tab["mu_full"], self._limb_axis,
+                              self.engine)
         # one batched inverse transform (B=2) — separate calls amortize the
         # per-limb twiddle table loads half as well
         acc = self.ntt_qp.inv(_xp(D).stack([acc_b, acc_a]))

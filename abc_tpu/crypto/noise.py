@@ -148,3 +148,47 @@ def choose_parameters(compiled, t_bits: int = 20, engine: str = "np64",
         f"no parameter preset large enough: circuit needs ~"
         f"{estimate_noise_bits(stats, 32768, t_bits) + t_bits + margin} bits "
         f"(depth {stats.mult_depth}+{stats.plain_mult_depth})")
+
+
+def auto_params_report(compiled, t_bits: int = 20, engine: str = "np64",
+                       seed: Optional[int] = None,
+                       security_strict: bool = False):
+    """choose_parameters + a client-facing record of WHY (the round-5 user
+    surface: CLI --auto-params / jit_compile_program(auto_params=True)).
+
+    Returns (params, report): report carries the chosen set, the predicted
+    noise consumption, the remaining decryption margin in bits, and whether
+    the set satisfies the HE-standard 128-bit budget (sub-128-bit sets are
+    flagged AND warned via check_modulus_budget's warning path)."""
+    from abc_tpu.crypto.params import HE_STANDARD_BUDGET_BITS
+
+    params = choose_parameters(compiled, t_bits=t_bits, engine=engine,
+                               seed=seed, security_strict=security_strict)
+    stats = analyze_circuit(compiled)
+    q_bits = sum(q.bit_length() for q in
+                 params.coeff_modulus[:params.L])
+    noise = estimate_noise_bits(stats, params.n, t_bits)
+    total_bits = sum(q.bit_length() for q in params.coeff_modulus)
+    budget = HE_STANDARD_BUDGET_BITS.get(params.n)
+    secure = budget is not None and total_bits <= budget
+    if not secure:
+        import warnings
+        warnings.warn(
+            f"auto-chosen parameters (n={params.n}, {total_bits} modulus "
+            f"bits) exceed the HE-standard 128-bit-security budget"
+            + (f" of {budget} bits" if budget is not None else "")
+            + "; they carry NO security claim", stacklevel=2)
+    report = {
+        "n": params.n,
+        "data_limbs": params.L,
+        "ks_digits": params.ks_digits,
+        "plain_bits": t_bits,
+        "q_bits": q_bits,
+        "predicted_noise_bits": noise,
+        "predicted_margin_bits": q_bits - noise - t_bits,
+        "mult_depth": stats.mult_depth,
+        "plain_mult_depth": stats.plain_mult_depth,
+        "rotations": stats.rotations,
+        "he_standard_128bit": secure,
+    }
+    return params, report

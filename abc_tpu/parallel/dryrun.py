@@ -132,6 +132,41 @@ def run_production_dryrun(n_devices: int, verbose: bool = True) -> dict:
     assert got == expected, f"production BFV dryrun mismatch: {got}"
     bfv_coll = collective_report(step, a, b, ksk_b, ksk_a)
 
+    # compiled-program phase at production shape (SURVEY §7 step 9): the
+    # hamming workload through the full pipeline on the dp×limb mesh
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    from abc_tpu.runtime.jit_executor import jit_compile_program
+
+    hamming_src = (
+        "int sum = 0;"
+        "for (int i = 0; i < n; i = i + 1) {"
+        "  sum = sum + (x[i]-y[i])*(x[i]-y[i]);"
+        "}"
+        "return sum;")
+    rng = np.random.default_rng(9)
+    B_p = 2 * dp
+    xs = [[int(v) for v in rng.integers(0, 2, 4)] for _ in range(B_p)]
+    ys = [[int(v) for v in rng.integers(0, 2, 4)] for _ in range(B_p)]
+    fac = BfvCiphertextFactory(context=ctx)     # reuse the n=8192 context
+    t0 = _time.perf_counter()
+    jp = jit_compile_program(
+        hamming_src,
+        f"secret int x = {{{','.join(map(str, xs[0]))}}}; "
+        f"secret int y = {{{','.join(map(str, ys[0]))}}}; int n = 4;",
+        "out = sum;", fac, mesh=mesh, batch_values={"x": xs, "y": ys})
+    raw = jax.block_until_ready(jp.run_raw(jp.secret_inputs))
+    prog_first_ms = (_time.perf_counter() - t0) * 1e3
+    t0 = _time.perf_counter()
+    jax.block_until_ready(jp.run_raw(jp.secret_inputs))
+    prog_ms = (_time.perf_counter() - t0) * 1e3
+    got_p = [row[0] for row in jp.decrypt_outputs(raw)["out"]]
+    oracle_p = [sum(int(a != b) for a, b in zip(x, y))
+                for x, y in zip(xs, ys)]
+    assert got_p == oracle_p, \
+        f"production compiled-program mismatch: {got_p} != {oracle_p}"
+    prog_coll = collective_report(jp._jitted, jp.secret_inputs,
+                                  jp._key_args)
+
     # CKKS n=32768 coefficient-sharded multiply+relin (BASELINE config 5)
     from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
     from abc_tpu.parallel.dist_ckks import DistCkksMultiplier
@@ -171,6 +206,14 @@ def run_production_dryrun(n_devices: int, verbose: bool = True) -> dict:
                 "collectives_per_step": bfv_coll,
                 "axis_attribution": "all-reduce = key-switch psum over "
                                     "'limb' (ICI); 'dp' moves zero bytes"},
+        "compiled_program": {
+            "workload": "hamming (full pipeline: parse->passes->"
+                        "vectorize->whole-program JIT)",
+            "n": n, "mesh": {"dp": dp, "limb": limb}, "batch": B_p,
+            "step_ms": round(prog_ms, 1),
+            "first_call_ms_incl_compile": round(prog_first_ms, 1),
+            "decrypted_ok": True,
+            "collectives_per_step": prog_coll},
         "ckks": {"n": n_c, "L": cparams.L, "coeff_devices": n_devices,
                  "step_ms": round(ckks_ms, 1),
                  "first_call_ms_incl_compile": round(ckks_first_ms, 1),
@@ -217,6 +260,43 @@ def run_dryrun(n_devices: int, n: int = 256, verbose: bool = True) -> None:
     if verbose:
         print(f"dryrun_multichip OK: mesh dp={dp} x limb={limb}, "
               f"n={n}, L={ctx.params.L}, batch={B}, decrypted {got}")
+
+    # COMPILED-PROGRAM phase (SURVEY §7 build-order step 9): the hamming
+    # DSL workload through the FULL pipeline (parse → passes → vectorize →
+    # whole-program JIT) onto the same dp × limb mesh — a batch of
+    # independent input pairs sharded over "dp", every key-switch
+    # contraction limb-sharded — decrypt-checked against the oracle.
+    from abc_tpu.parallel.report import collective_report
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    from abc_tpu.runtime.jit_executor import jit_compile_program
+
+    hamming_src = (
+        "int sum = 0;"
+        "for (int i = 0; i < n; i = i + 1) {"
+        "  sum = sum + (x[i]-y[i])*(x[i]-y[i]);"
+        "}"
+        "return sum;")
+    rng = np.random.default_rng(5)
+    xs = [[int(v) for v in rng.integers(0, 2, 4)] for _ in range(B)]
+    ys = [[int(v) for v in rng.integers(0, 2, 4)] for _ in range(B)]
+    ctx_prog = build_context(n=n, data_limbs=limb, seed=31)
+    fac = BfvCiphertextFactory(context=ctx_prog)
+    jp = jit_compile_program(
+        hamming_src,
+        f"secret int x = {{{','.join(map(str, xs[0]))}}}; "
+        f"secret int y = {{{','.join(map(str, ys[0]))}}}; int n = 4;",
+        "out = sum;", fac, mesh=mesh, batch_values={"x": xs, "y": ys})
+    got_p = [row[0] for row in jp.run()["out"]]
+    oracle = [sum(int(a != b) for a, b in zip(x, y))
+              for x, y in zip(xs, ys)]
+    assert got_p == oracle, f"compiled-program dryrun mismatch: {got_p}"
+    prog_coll = collective_report(jp._jitted, jp.secret_inputs,
+                                  jp._key_args)
+    if verbose:
+        import json as _json2
+        print(f"dryrun compiled-program OK: hamming via full pipeline, "
+              f"mesh dp={dp} x limb={limb}, batch={B}, decrypted {got_p}, "
+              f"collectives {_json2.dumps(prog_coll)}")
 
     # second axis: coefficient-sharded CKKS multiply+relin (ppermute
     # butterfly exchanges inside the NTT, BASELINE config 5)

@@ -43,6 +43,10 @@ class CompiledProgram:
     # batching did not run — carries input packings, result strides,
     # zero-tail and replication contracts for the client
     aux: object = None
+    # noise-driven parameter selection record (crypto/noise.py
+    # auto_params_report), set by jit_compile_program(auto_params=True) /
+    # the CLI's --auto-params: chosen set + predicted budget + security flag
+    auto_params: object = None
 
     @property
     def secret_tainted(self) -> Dict[str, bool]:

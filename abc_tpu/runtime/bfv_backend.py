@@ -121,7 +121,14 @@ class BfvCiphertextFactory(AbstractCiphertextFactory):
     default n = 16384 there, configurable like SealCiphertextFactory(slots))."""
 
     def __init__(self, slots: int = 8192, engine: Optional[str] = None,
-                 seed: Optional[int] = None, plain_bits: int = 20):
+                 seed: Optional[int] = None, plain_bits: int = 20,
+                 context: Optional[BfvContext] = None):
+        if context is not None:
+            # pre-built context (e.g. an explicit-limb-count chain for the
+            # mesh-sharded JIT, parallel/dryrun.py:build_context)
+            self.context = context
+            self.params = context.params
+            return
         if engine is None:
             import jax
             engine = "jx32" if jax.default_backend() == "tpu" else "np64"

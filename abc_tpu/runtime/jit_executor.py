@@ -42,7 +42,21 @@ class JittedProgram:
 
     def __init__(self, compiled: CompiledProgram,
                  factory: AbstractCiphertextFactory,
-                 input_ast: Block, output_ast: Block):
+                 input_ast: Block, output_ast: Block,
+                 mesh=None, batch_values=None):
+        """mesh: optional jax.sharding.Mesh with axes ("dp", "limb") — the
+        compiled program then executes as ONE shard_map program over the
+        mesh: a BATCH of independent input sets is sharded over "dp", and
+        every key-switch contraction (relinearization, rotations) is
+        sharded over "limb" with a modular psum over ICI
+        (BfvContext.set_limb_sharding; math identical to
+        parallel/sharding.py:sharded_key_switch). SURVEY.md §7 build-order
+        step 9: the whole COMPILED pipeline, not a hand-built kernel.
+
+        batch_values: {input_name: [B value-vectors]} — per-batch-element
+        secret input values (names omitted replicate the input AST's
+        declaration); B must be divisible by mesh.shape["dp"].
+        """
         import time
 
         import jax
@@ -99,7 +113,13 @@ class JittedProgram:
                 secret_decls.append((name, decl.datatype, cleartext))
             else:
                 self._plain_entries.append((name, decl.datatype, cleartext))
-        if secret_decls:
+        self.mesh = mesh
+        self.batch: int = 0
+        if mesh is not None and ("dp" not in mesh.shape
+                                 or "limb" not in mesh.shape):
+            raise RuntimeExecutionError(
+                'mesh execution needs a Mesh with axes ("dp", "limb")')
+        if secret_decls and mesh is None:
             if hasattr(factory, "create_many"):
                 handles = factory.create_many([c for _, _, c in secret_decls])
             else:
@@ -111,6 +131,37 @@ class JittedProgram:
                     import jax as _jax
                     arr = _jax.device_put(np.asarray(arr))
                 self.secret_inputs[name] = arr
+                self._input_meta[name] = meta
+                self._secret_types[name] = dt
+        elif secret_decls:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch_values = dict(batch_values or {})
+            dp = int(mesh.shape["dp"])
+            sizes = {len(v) for v in batch_values.values()}
+            if len(sizes) > 1:
+                raise RuntimeExecutionError(
+                    f"batch_values row counts differ: {sorted(sizes)}")
+            B = sizes.pop() if sizes else dp
+            if B % dp:
+                raise RuntimeExecutionError(
+                    f"batch {B} must be divisible by dp={dp}")
+            self.batch = B
+            flat = []
+            for name, dt, ctext in secret_decls:
+                rows = batch_values.get(name) or [list(ctext.values)] * B
+                flat.extend(Cleartext(list(v), ctext.dtype) for v in rows)
+            handles = factory.create_many(flat) \
+                if hasattr(factory, "create_many") else \
+                [factory.create_ciphertext(c) for c in flat]
+            idx = 0
+            for name, dt, ctext in secret_decls:
+                arrs, meta = [], None
+                for _b in range(B):
+                    arr, meta = factory.jit_pack(handles[idx])
+                    idx += 1
+                    arrs.append(np.asarray(arr))
+                self.secret_inputs[name] = jax.device_put(
+                    np.stack(arrs), NamedSharding(mesh, P("dp")))
                 self._input_meta[name] = meta
                 self._secret_types[name] = dt
         _mark("encrypt")
@@ -180,11 +231,21 @@ class JittedProgram:
             else:
                 mats = {k: ctx.materialize_key(k) for k in sorted(requests)}
             _mark("key_build")
-            self._key_args = {
-                k: tuple(x if hasattr(x, "devices")
-                         else jax.device_put(np.asarray(x))
-                         for x in mats[k])
-                for k in sorted(requests)}
+            if mesh is None:
+                self._key_args = {
+                    k: tuple(x if hasattr(x, "devices")
+                             else jax.device_put(np.asarray(x))
+                             for x in mats[k])
+                    for k in sorted(requests)}
+            else:
+                # switching keys live SHARDED over the "limb" axis: each
+                # device holds only its α/limb digit slice ([α, L+k, n]
+                # axis 0) — the big per-chip memory + compute win
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ksk_sh = NamedSharding(mesh, P("limb"))
+                self._key_args = {
+                    k: tuple(jax.device_put(x, ksk_sh) for x in mats[k])
+                    for k in sorted(requests)}
             _mark("key_put")
 
             def fn_keyed(secret_arrays, key_arrays):
@@ -194,10 +255,46 @@ class JittedProgram:
                 finally:
                     ctx.set_key_overrides({})
 
-            self._jitted = jax.jit(fn_keyed)
+            if mesh is None:
+                self._jitted = jax.jit(fn_keyed)
+            else:
+                self._jitted = jax.jit(
+                    self._mesh_wrap(fn_keyed, mesh, ctx))
         else:
-            self._jitted = jax.jit(fn)
+            if mesh is None:
+                self._jitted = jax.jit(fn)
+            else:
+                self._jitted = jax.jit(
+                    self._mesh_wrap(lambda s, _k: fn(s), mesh, None))
         _mark("setup_other")
+
+    @staticmethod
+    def _mesh_wrap(fn_keyed, mesh, ctx):
+        """Wrap the per-ciphertext traced program as ONE shard_map program:
+        vmap over the device-local batch shard ("dp"), with limb-sharded
+        key switching enabled on the context ("limb") for the duration of
+        the trace. Key shards arrive as the kernel's local [α/limb, L+k, n]
+        slices; the contraction psums live inside BfvContext._ks_inner."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from abc_tpu.parallel.sharding import _shard_map
+
+        limb = int(mesh.shape["limb"])
+
+        def kernel(secret_arrays, key_arrays):
+            if ctx is not None:
+                ctx.set_limb_sharding("limb", limb)
+            try:
+                return jax.vmap(
+                    lambda s: fn_keyed(s, key_arrays))(secret_arrays)
+            finally:
+                if ctx is not None:
+                    ctx.set_limb_sharding(None)
+
+        return _shard_map(kernel, mesh=mesh,
+                          in_specs=(P("dp"), P("limb")),
+                          out_specs=P("dp"), check_vma=False)
 
     def _census_key_ids(self, compiled, input_ast, output_ast):
         """Which switching keys will the encrypted run request? Answered by
@@ -278,6 +375,15 @@ class JittedProgram:
         out: Dict[str, List] = {}
         for name, arr in raw.items():
             if self._out_is_ct[name]:
+                if self.batch:
+                    # mesh mode: [B, …] batched ciphertexts, one decrypt
+                    # per batch element
+                    host = np.asarray(arr)
+                    out[name] = [
+                        self.factory.decrypt(self.factory.jit_unpack(
+                            host[b], self._out_meta[name]))
+                        for b in range(self.batch)]
+                    continue
                 # keep the ciphertext ON DEVICE: factories with a device
                 # decrypt path consume it directly (pulling it to host
                 # first costs a ~1.7 MB round trip at n=16384)
@@ -306,9 +412,22 @@ def _static_cleartext(decl: VariableDeclaration) -> Cleartext:
 
 
 def jit_compile_program(program_src: str, inputs_src: str, output_src: str,
-                        factory: AbstractCiphertextFactory,
-                        options=None) -> JittedProgram:
-    """Parse + compile + jit in one call (the full TPU-native pipeline)."""
+                        factory: AbstractCiphertextFactory = None,
+                        options=None, mesh=None, batch_values=None,
+                        auto_params: bool = False, engine: str = "jx32",
+                        seed=None, plain_bits: int = 20,
+                        security_strict: bool = False) -> JittedProgram:
+    """Parse + compile + jit in one call (the full TPU-native pipeline).
+
+    mesh/batch_values: compile onto a ("dp", "limb") device mesh — see
+    JittedProgram.
+
+    auto_params=True sizes the BFV parameter set from the compiled
+    circuit's noise profile (crypto/noise.py choose_parameters — the
+    reference runs on SEAL's fixed BFVDefault) and builds the factory
+    itself; `factory` must then be None. The chosen set + predicted budget
+    land in CompiledProgram.auto_params and JittedProgram.auto_params.
+    """
     import time
 
     from abc_tpu.parser import Parser
@@ -319,7 +438,25 @@ def jit_compile_program(program_src: str, inputs_src: str, output_src: str,
     output_ast = Parser.parse(output_src)
     compiled = Compiler(options).compile_source(
         program_src, input_types_from_ast(input_ast))
+    if auto_params:
+        if factory is not None:
+            raise RuntimeExecutionError(
+                "auto_params=True builds the factory itself; pass "
+                "factory=None")
+        from abc_tpu.crypto.bfv import BfvContext
+        from abc_tpu.crypto.noise import auto_params_report
+        from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+        params, report = auto_params_report(
+            compiled, t_bits=plain_bits, engine=engine, seed=seed,
+            security_strict=security_strict)
+        compiled.auto_params = report
+        factory = BfvCiphertextFactory(context=BfvContext(params))
+    elif factory is None:
+        raise RuntimeExecutionError(
+            "pass a factory or set auto_params=True")
     compile_ms = (time.perf_counter() - t0) * 1e3
-    jp = JittedProgram(compiled, factory, input_ast, output_ast)
+    jp = JittedProgram(compiled, factory, input_ast, output_ast,
+                       mesh=mesh, batch_values=batch_values)
     jp.phase_ms["parse_compile"] = compile_ms
+    jp.auto_params = compiled.auto_params
     return jp
