@@ -322,14 +322,45 @@ class BfvContext:
     # t_input_encryption) into ~0.1 MB. Everything stays bit-identical to
     # the np64 host path (tests/test_prng.py, test_bfv.py).
 
-    def _keygen_device(self, e_pk: np.ndarray) -> None:
-        """Device copies of (s_ntt_full, pk) — host np64 keygen is ~3 ms, so
-        these are plain batched transfers (~2.6 MB at n=16384), not a jitted
-        device computation (a fresh keygen executable would cost a per-
-        process XLA compile, which dwarfs the transfer on this rig)."""
+    def _keygen_device(self, e_pk: Optional[np.ndarray]) -> None:
+        """Install the device key copies (s_ntt_full, pk, and the
+        pre-sliced decrypt view — slicing _dev_s_ntt_full EAGERLY inside
+        decrypt() cost a full ~25 ms dispatch per call on the tunneled rig,
+        making t_decryption two round trips instead of one; round-5).
+
+        On an accelerator backend (or ABC_TPU_DEVICE_KEYGEN=1) the copies
+        are COMPUTED on device from the [n] int8 secret/error samples
+        (_keygen_dev_jit, ~32 KB transferred, bit-identical); on CPU JAX
+        — the test environment, where transfers are free and dozens of
+        small contexts would each pay a fresh XLA compile — they are plain
+        batched transfers. e_pk=None (checkpoint restore) always uses the
+        transfer path: the restored keys are data, not re-derivable."""
+        import os
+
         import jax
+        use_dev_build = e_pk is not None and (
+            jax.default_backend() != "cpu"
+            or os.environ.get("ABC_TPU_DEVICE_KEYGEN") == "1")
+        if use_dev_build:
+            import jax.numpy as jnp
+            from abc_tpu.crypto.prng import derive_key
+            k0, k1 = derive_key(self._prng_seed, "pk")
+            ntt_qp, ntt_q = self.ntt_qp, self.ntt_q
+            outs = _keygen_dev_jit(
+                tuple(self.params.coeff_modulus[:self.params.L]))(
+                jnp.asarray(self.s_coeffs.astype(np.int8)),
+                jnp.asarray(e_pk.astype(np.int8)),
+                jnp.uint32(k0), jnp.uint32(k1),
+                self._tab["q_full"], self._tab["mu_full"],
+                ntt_qp.fwd_tw, ntt_qp.fwd_tw_sh,
+                self.q_q, self.mu_q, ntt_q.fwd_tw, ntt_q.fwd_tw_sh)
+            (self._dev_s_ntt_full, self._dev_pk_b, self._dev_pk_a,
+             self._dev_s_ntt_L) = outs
+            return
         self._dev_s_ntt_full, self._dev_pk_b, self._dev_pk_a = \
             jax.device_put((self.s_ntt_full, self.pk_b_ntt, self.pk_a_ntt))
+        self._dev_s_ntt_L = jax.device_put(
+            np.ascontiguousarray(self.s_ntt_full[:self.params.L]))
 
     def sync_device_keys(self) -> None:
         """Refresh the jx32 device key copies from the HOST arrays. Must be
@@ -691,8 +722,11 @@ class BfvContext:
         ntt = self.ntt_q
         data = ct.data if not isinstance(ct.data, np.ndarray) \
             else jnp.asarray(ct.data)
+        s_ntt_L = getattr(self, "_dev_s_ntt_L", None)
+        if s_ntt_L is None:                  # restored contexts, older paths
+            s_ntt_L = self._dev_s_ntt_full[:self.params.L]
         packed, v = _dec_jit(self.params.plain_modulus, self._dec_mu_t)(
-            data, self._dev_s_ntt_full[:self.params.L], self.q_q, self.mu_q,
+            data, s_ntt_L, self.q_q, self.mu_q,
             self._tab["dec_qinv"], self._tab["dec_qinv_sh"],
             self._tab["dec_f_hi"], self._tab["dec_f_lo"],
             ntt.fwd_tw, ntt.fwd_tw_sh, ntt.inv_tw, ntt.inv_tw_sh,
@@ -1178,6 +1212,37 @@ def _lift_signed_u32(v_i32, q_col):
     v_u = v_i32.astype(jnp.uint32)[..., None, :]
     neg = (v_i32 < 0)[..., None, :]
     return jnp.where(neg, q_col + v_u, v_u)
+
+
+def _keygen_dev_jit(moduli_L: Tuple[int, ...]):
+    """Device-side public-key build (round 5): transfers only the [n] int8
+    secret and error samples (~32 KB at n=16384); the uniform `a`
+    regenerates from its PRNG key words in-jit and all NTTs run on device.
+    Replaces the ~1.3-2.6 MB host→device key transfer that made
+    factory_ctor ~45 ms of t_keygen on the tunneled rig. Outputs are
+    BIT-IDENTICAL to the host keygen (same PRNG streams, same NTT).
+
+    Returns (s_ntt_full [full, n], pk_b [L, n], pk_a [L, n],
+    s_ntt_L [L, n] — the pre-sliced decrypt view)."""
+    def make():
+        def build(s_i8, e_i8, k0, k1, q_full, mu_full, fwd_qp, fwd_qp_sh,
+                  q_L, mu_L, fwd_q, fwd_q_sh):
+            import jax.numpy as jnp
+            from abc_tpu.crypto.ntt import _fwd_stages
+            from abc_tpu.crypto.prng import uniform_rns_jx_keys
+            from abc_tpu.ops.modarith import jx32 as e
+            L = len(moduli_L)
+            s_full = _lift_signed_u32(s_i8.astype(jnp.int32), q_full)
+            s_ntt_full = _fwd_stages(e, s_full, fwd_qp, fwd_qp_sh, q_full)
+            a = uniform_rns_jx_keys(k0, k1, list(moduli_L), s_i8.shape[-1])
+            e_lift = _lift_signed_u32(e_i8.astype(jnp.int32), q_L)
+            e_ntt = _fwd_stages(e, e_lift, fwd_q, fwd_q_sh, q_L)
+            s_L = s_ntt_full[:L]
+            as_ntt = e.mul(a, s_L, q_L, mu_L)
+            pk_b = e.sub(e.neg(as_ntt, q_L), e_ntt, q_L)
+            return s_ntt_full, pk_b, a, s_L
+        return build
+    return _mjit(("keygen", moduli_L), make)
 
 
 def _ksk_batch_jit(moduli: Tuple[int, ...], K_pad: int):

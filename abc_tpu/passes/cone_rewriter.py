@@ -436,3 +436,29 @@ def run_cone_rewriting(ast: Block, max_rounds: int = 64,
     cr = ConeRewriter(max_rounds, flow_select=flow_select)
     cr.rewrite_ast(ast, rebalance=rebalance)
     return cr
+
+
+def arithmetize_netlist(ast: Block) -> int:
+    """Map boolean-netlist operators onto ring operators so a netlist
+    circuit executes on the ARITHMETIC FHE backends: & (AND) → FHE mult,
+    ^ (XOR) → FHE add. Over Z_t this is an exact ring re-interpretation —
+    cone rewriting only uses ring identities (distributivity,
+    re-association), so a rewritten netlist and its original compute the
+    SAME Z_t value, which is the decrypt-equality gate the measured cone
+    benchmark (benchsuite config4) checks. GF(2) boolean semantics would
+    need t=2 (no slot packing); the depth/limb economics are identical.
+    Returns the number of operators replaced."""
+    from abc_tpu.ast_ir.nodes import BinaryExpression
+    from abc_tpu.utils.operators import Op, Operator
+
+    replaced = 0
+    for node in ast.iter_preorder():
+        if isinstance(node, BinaryExpression):
+            op = node.operator.op
+            if op in (Op.BITWISE_AND, Op.LOGICAL_AND):
+                node.operator = Operator(Op.FHE_MUL)
+                replaced += 1
+            elif op == Op.BITWISE_XOR:
+                node.operator = Operator(Op.FHE_ADD)
+                replaced += 1
+    return replaced

@@ -255,12 +255,14 @@ class JittedProgram:
                 finally:
                     ctx.set_key_overrides({})
 
+            self._fn_keyed = fn_keyed       # raw traced fn (bench harness)
             if mesh is None:
                 self._jitted = jax.jit(fn_keyed)
             else:
                 self._jitted = jax.jit(
                     self._mesh_wrap(fn_keyed, mesh, ctx))
         else:
+            self._fn_keyed = lambda s, _k: fn(s)
             if mesh is None:
                 self._jitted = jax.jit(fn)
             else:
@@ -337,7 +339,13 @@ class JittedProgram:
             handle_cls = _Ct
 
         try:
-            shadow = _Factory(slots=self.factory.slot_count)
+            # reduced-width shadow: the census needs the SET of rotation
+            # steps and whether any ct·ct multiply happens — both
+            # independent of the slot count — while every dummy op costs
+            # O(slots) numpy work (52 ms of the n=16384 laplace t_keygen
+            # was this loop at full width; 2048 slots cut it ~8×). Any
+            # out-of-range index raises and falls back to eval_shape.
+            shadow = _Factory(slots=min(self.factory.slot_count, 2048))
             rv = RuntimeVisitor(shadow, Block([]), compiled.secret_tainted)
             for name, dt, ctext in self._plain_entries:
                 rv.globals.declare(name, dt, ctext)
