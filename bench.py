@@ -153,6 +153,73 @@ for B in BATCHES:
                      "ops_per_s_min": B / hi, "ops_per_s_max": B / lo,
                      "fixed_dispatch_ms": fixed * 1e3}
 
+# --- mult+relin speed-of-light census (round 5) ------------------------------
+# One abstract trace (jax.eval_shape — compiles nothing) of the SAME step the
+# curve above measures, with the NTT contexts and the jx32 engine wrapped by
+# row/op counters. The census prices a per-op floor:
+#   floor = ntt_rows x t_row  +  elem_ops / VPU
+# where t_row comes from THIS run's measured n=16384 NTT (scaled by
+# n log n to n=8192) and elem ops use the ablation's per-op ALU counts
+# (Barrett mul 19, add/sub/neg 2, Shoup mul 6 u32 ops/element) against the
+# nominal 3.85e12 ops/s VPU. pct_sol = floor_time / measured_time.
+census = {"ntt_rows": 0, "elem_ops": 0, "_in_ntt": 0}
+
+def _nrows(x):
+    import numpy as _np
+    return int(_np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+
+# jx32 NttContexts install fwd/inv as INSTANCE lambdas (hot-path attach),
+# so the counters wrap the instances the mult step actually uses
+_ntt_insts = [ctx.ntt_q, ctx.ntt_qp, ctx._behz.ntt_q, ctx._behz.ntt_bsk]
+_ntt_saved = []
+def _counted(orig):
+    # engine ops INSIDE the transform (stage butterflies) are already
+    # priced by the measured t_row — suppress them so elem_ops counts
+    # only the BEHZ/key-switch elementwise work
+    def g(x):
+        census["ntt_rows"] += _nrows(x)
+        census["_in_ntt"] += 1
+        try:
+            return orig(x)
+        finally:
+            census["_in_ntt"] -= 1
+    return g
+
+def _wrap_ntt(inst):
+    of, oi = inst.fwd, inst.inv
+    _ntt_saved.append((inst, of, oi))
+    inst.fwd = _counted(of)
+    inst.inv = _counted(oi)
+_seen = set()
+for _inst in _ntt_insts:
+    if id(_inst) not in _seen:
+        _seen.add(id(_inst))
+        _wrap_ntt(_inst)
+
+from abc_tpu.ops.modarith import jx32 as _jx
+_OPS_PER_EL = {"mul": 19, "add": 2, "sub": 2, "neg": 2, "mul_shoup": 6}
+_orig_ops = {k: getattr(_jx, k) for k in _OPS_PER_EL}
+def _wrap_op(name, orig, cost):
+    def f(*args):
+        import numpy as _np
+        if not census["_in_ntt"]:
+            shapes = [getattr(a, "shape", ()) for a in args[:2]]
+            census["elem_ops"] += cost * int(
+                _np.prod(_np.broadcast_shapes(*shapes)))
+        return orig(*args)
+    return staticmethod(f)
+
+for _k, _orig in _orig_ops.items():
+    setattr(_jx, _k, _wrap_op(_k, _orig, _OPS_PER_EL[_k]))
+try:
+    jax.eval_shape(mult, jnp.asarray(np.asarray(a.data)),
+                   jnp.asarray(np.asarray(b.data)))
+finally:
+    for _inst, _of, _oi in _ntt_saved:
+        _inst.fwd, _inst.inv = _of, _oi
+    for _k, _orig in _orig_ops.items():
+        setattr(_jx, _k, _orig)
+
 # --- headline: RNS-NTT butterflies/s/chip @ n=16384 -------------------------
 # Full production limb chain (BFVDefault-style 13 data + 1 special prime);
 # dependent forward transforms chained so depth, not dispatch, dominates.
@@ -192,6 +259,8 @@ print(json.dumps({
     "mult_relin_curve": mult_curve,
     "ntt_curve": ntt_curve,
     "ntt_rows": rows,
+    "mult_relin_census": {k: v for k, v in census.items()
+                          if not k.startswith("_")},
 }))
 """ % (N, N_NTT, REPEATS, K_EST, CHAIN, CHAIN_CPU, CHAIN_NTT, CHAIN_NTT_CPU)
 
@@ -288,6 +357,7 @@ def main() -> None:
                              "ops_per_s": round(mbest["ops_per_s"], 2)},
             "vs_baseline": round(m8.get("ops_per_s", 0.0)
                                  / SEAL_CPU_BASELINE_OPS_PER_S, 2),
+            "speed_of_light": _mult_relin_sol(result, m1),
         },
         "suite": suite if suite is not None
         else {"error": "suite worker failed/timed out"},
@@ -318,6 +388,45 @@ def main() -> None:
         line["suite"] = "see bench_suite.json"
         out = json.dumps(line)
     print(out)
+
+
+def _mult_relin_sol(result, m1):
+    """Per-op floor for the n=8192 mult+relin from THIS run's measured NTT
+    row cost + the census's elementwise op count (round-5; previously the
+    op had no speed-of-light accounting of its own):
+
+      floor = ntt_rows · t_row(n=8192) + elem_ops / VPU_nominal
+
+    t_row scales the measured n=16384 per-row time by n·log2(n) (per-row
+    butterfly work is (n/2)·log2(n)). pct_sol is the measured single-ct
+    chain against that floor; the census fields let the model be audited.
+    """
+    census = result.get("mult_relin_census")
+    n1 = result.get("ntt_curve", {}).get("1") or \
+        result.get("ntt_curve", {}).get(1)
+    if not census or not n1 or not m1.get("ops_per_s"):
+        return {"error": "census or measurements missing"}
+    rows16 = result.get("ntt_rows", 14)
+    t_row_16384_s = n1["us_per_fwd"] * 1e-6 / rows16
+    scale = (N * (N.bit_length() - 1)) / (N_NTT * (N_NTT.bit_length() - 1))
+    t_row_s = t_row_16384_s * scale
+    ntt_floor_s = census["ntt_rows"] * t_row_s
+    elem_floor_s = census["elem_ops"] / 3.85e12
+    floor_s = ntt_floor_s + elem_floor_s
+    measured_s = 1.0 / m1["ops_per_s"]
+    return {
+        "ntt_rows": census["ntt_rows"],
+        "elem_u32_ops": census["elem_ops"],
+        "ntt_floor_us": round(ntt_floor_s * 1e6, 1),
+        "elem_floor_us": round(elem_floor_s * 1e6, 1),
+        "floor_ops_per_s": round(1.0 / floor_s, 1),
+        "measured_single_ct_ops_per_s": round(m1["ops_per_s"], 1),
+        "pct_sol": round(100.0 * floor_s / measured_s, 1),
+        "model": "ntt_rows x measured t_row(n=8192, scaled n log n from "
+                 "the same run's n=16384 NTT) + elem ops over the nominal "
+                 "3.85e12 ops/s VPU (ALU counts: Barrett 19, add/sub 2, "
+                 "Shoup 6 per element)",
+    }
 
 
 def _compact_suite(suite):
