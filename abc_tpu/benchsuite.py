@@ -96,7 +96,13 @@ def config2_bfv_mult_relin(chain: int = 2048) -> Dict:
                            (jnp.asarray(np.asarray(b.data)),), chain)
     return {"metric": f"config2_bfv_n8192_mult_relin ({jax.default_backend()})",
             "value": round(ops, 2), "unit": "ops/s",
-            "vs_baseline": round(ops / 40.0, 2)}
+            "vs_baseline": round(ops / 40.0, 2),
+            "note": "same op as bench.py's mult_relin block under a "
+                    "DIFFERENT protocol (one two-point estimate at chain "
+                    f"{chain}, best-of-{3} repeats, vs the headline's "
+                    "median of 5 independent estimates at chain 512) — "
+                    "the ~3-5% disagreement between the two numbers is "
+                    "protocol, not drift"}
 
 
 def config3_batched_hamming(chain: int = 512) -> Dict:
