@@ -192,3 +192,59 @@ def auto_params_report(compiled, t_bits: int = 20, engine: str = "np64",
         "he_standard_128bit": secure,
     }
     return params, report
+
+
+def choose_ckks_parameters(compiled, engine: str = "np64",
+                           seed: Optional[int] = None,
+                           security_strict: bool = False):
+    """CKKS analogue of choose_parameters (round-5; closes the "per-circuit
+    scale_bits selection" gap, crypto/ckks.py:95-103): pick (n, levels,
+    scale_bits) from the compiled circuit's shape.
+
+      levels     = total multiplicative depth (ct·ct + ct·plain each cost
+                   one rescale level) + 1 working level
+      scale_bits = 29 when the circuit rotates (post-rescale rotations
+                   need a prime-sized scale that stays put across
+                   rescales — the documented precision hazard), else the
+                   default 25 (headroom for multiply-heavy circuits)
+      n          = smallest ring with levels+1 30-bit primes inside the
+                   HE-standard 128-bit budget (security_strict skips
+                   dev-grade sets that overflow it)
+
+    Returns (CkksParams, report dict)."""
+    from abc_tpu.crypto.ckks import CkksParams
+    from abc_tpu.crypto.params import HE_STANDARD_BUDGET_BITS
+
+    stats = analyze_circuit(compiled)
+    depth = stats.mult_depth + stats.plain_mult_depth
+    levels = max(2, depth + 1)
+    scale_bits = 29 if stats.rotations > 0 and depth > 0 else 25
+    bits_needed = 30 * (levels + 1)           # + the special prime
+    chosen_n = None
+    for n, budget in sorted(HE_STANDARD_BUDGET_BITS.items()):
+        if n < 2048:
+            continue
+        if budget >= bits_needed:
+            chosen_n = n
+            break
+    secure = chosen_n is not None
+    if chosen_n is None:
+        # over-budget dev fallback: biggest table ring, warned
+        chosen_n = max(HE_STANDARD_BUDGET_BITS)
+        if security_strict:
+            raise CompilerError(
+                f"no 128-bit-secure CKKS preset holds {levels} levels "
+                f"({bits_needed} modulus bits)")
+        import warnings
+        warnings.warn(
+            f"auto-chosen CKKS parameters (n={chosen_n}, {bits_needed} "
+            "modulus bits) exceed the HE-standard 128-bit budget; they "
+            "carry NO security claim", stacklevel=2)
+    params = CkksParams.create(chosen_n, levels=levels, engine=engine,
+                               seed=seed, scale_bits=scale_bits)
+    report = {
+        "scheme": "ckks", "n": chosen_n, "levels": levels,
+        "scale_bits": scale_bits, "mult_depth": depth,
+        "rotations": stats.rotations, "he_standard_128bit": secure,
+    }
+    return params, report

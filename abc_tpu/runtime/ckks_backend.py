@@ -134,7 +134,13 @@ class CkksCiphertextFactory(AbstractCiphertextFactory):
 
     def __init__(self, n: int = 2048, levels: int = 3,
                  engine: Optional[str] = None, seed: Optional[int] = None,
-                 scale_bits: int = 25):
+                 scale_bits: int = 25, context: Optional[CkksContext] = None):
+        if context is not None:
+            # pre-built context (e.g. auto-chosen per-circuit parameters,
+            # crypto/noise.py choose_ckks_parameters)
+            self.context = context
+            self.params = context.params
+            return
         if engine is None:
             engine = "np64"
         self.params = CkksParams.create(n, levels=levels, engine=engine,

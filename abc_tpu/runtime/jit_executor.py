@@ -451,14 +451,28 @@ def jit_compile_program(program_src: str, inputs_src: str, output_src: str,
             raise RuntimeExecutionError(
                 "auto_params=True builds the factory itself; pass "
                 "factory=None")
-        from abc_tpu.crypto.bfv import BfvContext
-        from abc_tpu.crypto.noise import auto_params_report
-        from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
-        params, report = auto_params_report(
-            compiled, t_bits=plain_bits, engine=engine, seed=seed,
-            security_strict=security_strict)
-        compiled.auto_params = report
-        factory = BfvCiphertextFactory(context=BfvContext(params))
+        from abc_tpu.utils.datatype import Type
+        is_float = any(dt.type in (Type.FLOAT, Type.DOUBLE)
+                       for dt in compiled.input_types.values())
+        if is_float:
+            # approximate circuit → CKKS with per-circuit levels/scale_bits
+            from abc_tpu.crypto.ckks import CkksContext
+            from abc_tpu.crypto.noise import choose_ckks_parameters
+            from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+            params, report = choose_ckks_parameters(
+                compiled, engine=engine, seed=seed,
+                security_strict=security_strict)
+            compiled.auto_params = report
+            factory = CkksCiphertextFactory(context=CkksContext(params))
+        else:
+            from abc_tpu.crypto.bfv import BfvContext
+            from abc_tpu.crypto.noise import auto_params_report
+            from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+            params, report = auto_params_report(
+                compiled, t_bits=plain_bits, engine=engine, seed=seed,
+                security_strict=security_strict)
+            compiled.auto_params = report
+            factory = BfvCiphertextFactory(context=BfvContext(params))
     elif factory is None:
         raise RuntimeExecutionError(
             "pass a factory or set auto_params=True")

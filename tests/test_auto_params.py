@@ -216,3 +216,66 @@ def test_auto_params_scales_with_depth():
         p5, r5 = auto_params_report(compile_chain(5))
     assert p5.n >= p1.n
     assert r5["predicted_noise_bits"] > r1["predicted_noise_bits"]
+
+
+# ---- round-5: CKKS auto-params (per-circuit levels + scale_bits) ----------
+
+def test_ckks_auto_params_selection():
+    from abc_tpu.crypto.noise import choose_ckks_parameters
+
+    def compile_src(prog, inputs):
+        ia = Parser.parse(inputs)
+        return Compiler(CompileOptions()).compile_source(
+            prog, input_types_from_ast(ia))
+
+    # rotating depth-2 circuit → prime-sized scale (29), 3 levels
+    comp = compile_src(
+        "secret double acc = w0 * w1; acc = acc + rotate(w0, 1); "
+        "acc = acc * w1; return acc;",
+        "secret double w0 = {1.0,2.0}; secret double w1 = {0.5,0.25};")
+    params, rep = choose_ckks_parameters(comp)
+    assert rep["scale_bits"] == 29 and rep["levels"] == 3
+    assert rep["he_standard_128bit"]
+    # rotation-free circuit keeps the headroom default
+    comp2 = compile_src("secret double acc = w0 * w0; return acc;",
+                        "secret double w0 = {1.0,2.0};")
+    _, rep2 = choose_ckks_parameters(comp2)
+    assert rep2["scale_bits"] == 25
+
+
+def test_ckks_auto_params_executes_accurately():
+    import numpy as np
+
+    from abc_tpu.crypto.ckks import CkksContext
+    from abc_tpu.crypto.noise import choose_ckks_parameters
+    from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+
+    inputs = ("secret double w0 = {1.0,2.0}; "
+              "secret double w1 = {0.5,0.25};")
+    prog = ("secret double acc = w0 * w1; acc = acc + rotate(w0, 1); "
+            "acc = acc * w1; return acc;")
+    ia = Parser.parse(inputs)
+    comp = Compiler(CompileOptions()).compile_source(
+        prog, input_types_from_ast(ia))
+    params, rep = choose_ckks_parameters(comp, seed=5)
+    factory = CkksCiphertextFactory(context=CkksContext(params))
+    rv = RuntimeVisitor(factory, ia, comp.secret_tainted)
+    rv.execute_ast(comp.ast)
+    ((_, v),) = rv.get_output(Parser.parse("out = acc;"))
+    got = np.asarray(factory.decrypt(v))[:2]
+    want = [(1.0 * 0.5 + 2.0) * 0.5, (2.0 * 0.25 + 2.0) * 0.25]
+    assert np.allclose(got, want, atol=1e-2), got
+
+
+def test_jit_auto_params_routes_float_circuits_to_ckks():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+    from abc_tpu.runtime.jit_executor import jit_compile_program
+
+    jp = jit_compile_program(
+        "secret double acc = w0 * w0; return acc;",
+        "secret double w0 = {1.5,2.0};", "out = acc;",
+        auto_params=True, seed=5)
+    assert isinstance(jp.factory, CkksCiphertextFactory)
+    assert jp.auto_params["scheme"] == "ckks"
