@@ -257,3 +257,36 @@ def test_ckks_fuzz_vs_numpy_oracle(seed):
     assert np.allclose(got[:8], oracle[:8], atol=5e-2), (
         f"seed {seed}\ninputs: {inputs_src}\nprogram: {program_src}\n"
         f"got={got[:8]}\nwant={oracle[:8]}")
+
+
+# ---------------------------------------------------------------------------
+# 4. CKKS whole-program JIT fuzz (round 5 follow-up): the lazy
+# relin/rescale backend's jit protocol (static (level, scale) metadata
+# alongside traced arrays) under random programs
+# ---------------------------------------------------------------------------
+
+_CKKS_JIT_FACTORY = []
+
+
+def _ckks_jit_factory():
+    from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+    if not _CKKS_JIT_FACTORY:
+        _CKKS_JIT_FACTORY.append(CkksCiphertextFactory(
+            n=512, levels=4, engine="jx32", seed=3, scale_bits=30))
+    return _CKKS_JIT_FACTORY[0]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_ckks_jit_fuzz_vs_numpy_oracle(seed):
+    from abc_tpu.runtime.jit_executor import jit_compile_program
+
+    factory = _ckks_jit_factory()
+    rng = random.Random(11_000 + seed)
+    inputs_src, program_src, oracle = gen_ckks_program(
+        rng, factory.slot_count)
+    jp = jit_compile_program(program_src, inputs_src, "out = acc;",
+                             factory, options=ALL_ON)
+    got = np.asarray(jp.run()["out"])
+    assert np.allclose(got[:8], oracle[:8], atol=5e-2), (
+        f"seed {seed}\ninputs: {inputs_src}\nprogram: {program_src}\n"
+        f"got={got[:8]}\nwant={oracle[:8]}")
