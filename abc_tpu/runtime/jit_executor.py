@@ -231,6 +231,8 @@ class JittedProgram:
             else:
                 mats = {k: ctx.materialize_key(k) for k in sorted(requests)}
             _mark("key_build")
+            self._limb_ok = mesh is not None and \
+                hasattr(ctx, "set_limb_sharding")
             if mesh is None:
                 self._key_args = {
                     k: tuple(x if hasattr(x, "devices")
@@ -238,11 +240,16 @@ class JittedProgram:
                              for x in mats[k])
                     for k in sorted(requests)}
             else:
-                # switching keys live SHARDED over the "limb" axis: each
-                # device holds only its α/limb digit slice ([α, L+k, n]
-                # axis 0) — the big per-chip memory + compute win
+                # BFV: switching keys live SHARDED over the "limb" axis —
+                # each device holds only its α/limb digit slice
+                # ([α, L+k, n] axis 0), the big per-chip memory + compute
+                # win. CKKS: α varies with the ciphertext LEVEL (leveled
+                # rescales shrink the digit count mid-program), so a fixed
+                # physical key shard cannot serve every switch — keys stay
+                # replicated and the mesh parallelism is dp-only.
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                ksk_sh = NamedSharding(mesh, P("limb"))
+                ksk_sh = NamedSharding(
+                    mesh, P("limb") if self._limb_ok else P())
                 self._key_args = {
                     k: tuple(jax.device_put(x, ksk_sh) for x in mats[k])
                     for k in sorted(requests)}
@@ -259,8 +266,8 @@ class JittedProgram:
             if mesh is None:
                 self._jitted = jax.jit(fn_keyed)
             else:
-                self._jitted = jax.jit(
-                    self._mesh_wrap(fn_keyed, mesh, ctx))
+                self._jitted = jax.jit(self._mesh_wrap(
+                    fn_keyed, mesh, ctx if self._limb_ok else None))
         else:
             self._fn_keyed = lambda s, _k: fn(s)
             if mesh is None:
@@ -273,16 +280,18 @@ class JittedProgram:
     @staticmethod
     def _mesh_wrap(fn_keyed, mesh, ctx):
         """Wrap the per-ciphertext traced program as ONE shard_map program:
-        vmap over the device-local batch shard ("dp"), with limb-sharded
-        key switching enabled on the context ("limb") for the duration of
-        the trace. Key shards arrive as the kernel's local [α/limb, L+k, n]
-        slices; the contraction psums live inside BfvContext._ks_inner."""
+        vmap over the device-local batch shard ("dp"), and — when the
+        context supports it (BFV; ctx=None otherwise) — limb-sharded key
+        switching for the duration of the trace. Key shards arrive as the
+        kernel's local [α/limb, L+k, n] slices; the contraction psums live
+        inside BfvContext._ks_inner."""
         import jax
         from jax.sharding import PartitionSpec as P
 
         from abc_tpu.parallel.sharding import _shard_map
 
         limb = int(mesh.shape["limb"])
+        key_spec = P("limb") if ctx is not None else P()
 
         def kernel(secret_arrays, key_arrays):
             if ctx is not None:
@@ -295,7 +304,7 @@ class JittedProgram:
                     ctx.set_limb_sharding(None)
 
         return _shard_map(kernel, mesh=mesh,
-                          in_specs=(P("dp"), P("limb")),
+                          in_specs=(P("dp"), key_spec),
                           out_specs=P("dp"), check_vma=False)
 
     def _census_key_ids(self, compiled, input_ast, output_ast):

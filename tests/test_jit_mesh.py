@@ -115,3 +115,37 @@ def test_mesh_plain_and_secret_mix(mesh):
         ap = av + [av[-1]] * 4          # last-element padding into view
         exp = [av[i] * bv[i] + ap[i + 1] + 3 for i in range(4)]
         assert row[:4] == exp, (row[:4], exp)
+
+
+def test_compiled_ckks_program_on_mesh_dp(mesh):
+    """CKKS programs run the mesh path on the dp axis (keys replicated —
+    the leveled digit count varies per switch, so fixed limb shards can't
+    serve CKKS; documented in jit_executor). Gate: decrypted values match
+    per-element single-device runs within CKKS tolerance."""
+    from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+
+    factory = CkksCiphertextFactory(n=512, levels=4, engine="jx32",
+                                    seed=9, scale_bits=30)
+    prog = ("secret double acc = w0 * w1; acc = acc + rotate(w0, 1); "
+            "return acc;")
+    inputs = "secret double w0 = {1.0,2.0,3.0}; secret double w1 = {0.5,0.25,2.0};"
+    w0s = [[1.0, 2.0, 3.0], [0.5, -1.0, 2.5], [4.0, 0.0, 1.0],
+           [-2.0, 3.0, 0.5]]
+    w1s = [[0.5, 0.25, 2.0], [1.0, 1.0, 1.0], [0.25, 2.0, -1.0],
+           [2.0, 0.5, 0.5]]
+    jp = jit_compile_program(prog, inputs, "out = acc;", factory,
+                             mesh=mesh,
+                             batch_values={"w0": w0s, "w1": w1s})
+    rows = jp.run()["out"]
+
+    f_single = CkksCiphertextFactory(n=512, levels=4, engine="jx32",
+                                     seed=9, scale_bits=30)
+    for row, w0, w1 in zip(rows, w0s, w1s):
+        pad = w0 + [w0[-1]]
+        want = [w0[i] * w1[i] + pad[i + 1] for i in range(3)]
+        ins = (f"secret double w0 = {{{','.join(map(str, w0))}}}; "
+               f"secret double w1 = {{{','.join(map(str, w1))}}};")
+        jp1 = jit_compile_program(prog, ins, "out = acc;", f_single)
+        single = jp1.run()["out"]
+        assert np.allclose(row[:3], want, atol=1e-2), (row[:3], want)
+        assert np.allclose(row[:3], single[:3], atol=1e-2)
