@@ -367,8 +367,10 @@ class CkksContext:
         n, full = self.params.n, self.full
         alpha = self.params.num_ks_digits
         rng_e = seeded_rng(self._sec_seed, f"{stream}/e")
+        # float32 draws: same scheme as BfvContext._ksk_errors (round 5)
         errors = np.clip(
-            np.rint(rng_e.normal(0.0, self.params.error_std, (alpha, n))),
+            np.rint(rng_e.standard_normal((alpha, n), dtype=np.float32)
+                    * np.float32(self.params.error_std)),
             -19, 19).astype(np.int64)
         ksk_b = np.empty((alpha, full, n), dtype=np.uint32)
         ksk_a = np.empty((alpha, full, n), dtype=np.uint32)
@@ -403,8 +405,10 @@ class CkksContext:
                                                       f"{st}/d{i}")
         rng_e = seeded_rng(self._sec_seed, f"{stream}/e")
         errors = np.zeros((K_pad, alpha, n), dtype=np.int8)
+        # float32 draws — must match _make_ksk exactly (round 5)
         errors[0] = np.clip(
-            np.rint(rng_e.normal(0.0, self.params.error_std, (alpha, n))),
+            np.rint(rng_e.standard_normal((alpha, n), dtype=np.float32)
+                    * np.float32(self.params.error_std)),
             -19, 19).astype(np.int8)
         perms = np.zeros((K_pad, n), dtype=np.int32)
         is_relin = np.zeros((K_pad, 1, 1), dtype=bool)
