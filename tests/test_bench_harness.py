@@ -55,3 +55,21 @@ def test_compact_line_fits_driver_capture():
 def test_suite_registry_covers_six_configs():
     from abc_tpu.benchsuite import CONFIGS
     assert sorted(CONFIGS) == [1, 2, 3, 4, 5, 6]
+
+
+def test_mult_relin_sol_model():
+    """The speed-of-light model must price the census against the same
+    run's measured NTT row cost and report an auditable floor."""
+    result = {
+        "mult_relin_census": {"ntt_rows": 154, "elem_ops": 142_843_904},
+        "ntt_curve": {"1": {"us_per_fwd": 29.17}},
+        "ntt_rows": 14,
+    }
+    sol = bench._mult_relin_sol(result, {"ops_per_s": 3631.0})
+    assert sol["ntt_rows"] == 154
+    # floor must be faster than measured but the same order of magnitude
+    assert sol["floor_ops_per_s"] > 3631.0
+    assert sol["floor_ops_per_s"] < 36310.0
+    assert 0 < sol["pct_sol"] < 100
+    # missing census → explicit error, not a crash
+    assert "error" in bench._mult_relin_sol({}, {"ops_per_s": 1.0})
