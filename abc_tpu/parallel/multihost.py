@@ -191,6 +191,87 @@ def run_multihost_bfv(layout: str, n: int = 256, data_limbs: int = None,
     return report
 
 
+def run_multihost_compiled(n: int = 256, verbose: bool = True) -> Dict:
+    """The COMPILED hamming workload (full pipeline + whole-program JIT,
+    runtime/jit_executor mesh mode) on a PROCESS-SPANNING dp × limb mesh:
+    dp = hosts (one batch shard per host, zero cross-host bytes), limb =
+    per-host devices (key-switch psum inside each host). Every process
+    compiles the same program with the same seeds, so the global arrays
+    JittedProgram places are value-identical across processes (the jax
+    multi-process contract). Each host decrypts ITS addressable output
+    shards against the oracle; an allgather cross-checks the counts."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from abc_tpu.parallel.dryrun import build_context
+    from abc_tpu.parallel.report import collective_report
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    from abc_tpu.runtime.jit_executor import jit_compile_program
+
+    mesh = host_chip_mesh("batch-over-dcn")
+    dp, limb = mesh.shape["dp"], mesh.shape["limb"]
+    # ≥4 data limbs (multiple of the limb axis): the hamming circuit needs
+    # ~60 noise bits + the 20-bit plaintext, beyond a 2-limb chain
+    data_limbs = limb * (-(-4 // limb))
+    ctx = build_context(n=n, data_limbs=data_limbs, seed=33)
+    fac = BfvCiphertextFactory(context=ctx)
+    B = 2 * dp
+    rng = np.random.default_rng(7)
+    xs = [[int(v) for v in rng.integers(0, 2, 4)] for _ in range(B)]
+    ys = [[int(v) for v in rng.integers(0, 2, 4)] for _ in range(B)]
+    src = ("int sum = 0;"
+           "for (int i = 0; i < n; i = i + 1) {"
+           "  sum = sum + (x[i]-y[i])*(x[i]-y[i]);"
+           "}"
+           "return sum;")
+    jp = jit_compile_program(
+        src,
+        f"secret int x = {{{','.join(map(str, xs[0]))}}}; "
+        f"secret int y = {{{','.join(map(str, ys[0]))}}}; int n = 4;",
+        "out = sum;", fac, mesh=mesh, batch_values={"x": xs, "y": ys})
+    import jax as _jax
+    raw = _jax.block_until_ready(jp.run_raw(jp.secret_inputs))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _jax.block_until_ready(jp.run_raw(jp.secret_inputs))
+        times.append(time.perf_counter() - t0)
+    arr = raw["out"]
+    oracle = [sum(int(a != b) for a, b in zip(x, y))
+              for x, y in zip(xs, ys)]
+    checked = 0
+    seen = set()
+    for shard in arr.addressable_shards:
+        if shard.index in seen:
+            continue
+        seen.add(shard.index)
+        data = np.asarray(shard.data)
+        i0 = shard.index[0].start or 0
+        for k in range(data.shape[0]):
+            got = fac.decrypt(fac.jit_unpack(data[k],
+                                             jp._out_meta["out"]))[0]
+            assert got == oracle[i0 + k], \
+                f"host {jax.process_index()} batch {i0 + k}: " \
+                f"{got} != {oracle[i0 + k]}"
+            checked += 1
+    gathered = multihost_utils.process_allgather(
+        np.asarray([checked], dtype=np.int64))
+    report = {
+        "workload": "hamming via full pipeline (jit_compile_program mesh)",
+        "nproc": jax.process_count(), "mesh": {"dp": dp, "limb": limb},
+        "n": n, "L": ctx.params.L, "batch": B,
+        "step_ms": round(min(times) * 1e3, 3),
+        "ct_shards_checked_this_host": checked,
+        "ct_shards_checked_all_hosts": int(gathered.sum()),
+        "collectives": collective_report(jp._jitted, jp.secret_inputs,
+                                         jp._key_args),
+    }
+    if verbose and jax.process_index() == 0:
+        print("multihost COMPILED-PROGRAM OK:", json.dumps(report),
+              flush=True)
+    return report
+
+
 def run_multihost_ckks(n: int = 256, levels: int = 3,
                        verbose: bool = True) -> Dict:
     """CKKS multiply+relin with coefficients sharded over EVERY device of
@@ -251,6 +332,8 @@ def _worker_main(args) -> None:
         "batch-over-dcn", n=n_bfv, data_limbs=limbs, verbose=False)
     out["bfv_limb_over_dcn"] = run_multihost_bfv(
         "limb-over-dcn", n=n_bfv, data_limbs=limbs, verbose=False)
+    out["compiled_program"] = run_multihost_compiled(
+        n=min(n_bfv, 512), verbose=False)
     if args.ckks:
         out["ckks_coeff_sharded"] = run_multihost_ckks(
             n=args.n_ckks or args.n, levels=args.levels, verbose=False)

@@ -160,8 +160,8 @@ class JittedProgram:
                     arr, meta = factory.jit_pack(handles[idx])
                     idx += 1
                     arrs.append(np.asarray(arr))
-                self.secret_inputs[name] = jax.device_put(
-                    np.stack(arrs), NamedSharding(mesh, P("dp")))
+                self.secret_inputs[name] = _put_global(
+                    np.stack(arrs), NamedSharding(mesh, P("dp")), mesh)
                 self._input_meta[name] = meta
                 self._secret_types[name] = dt
         _mark("encrypt")
@@ -251,7 +251,7 @@ class JittedProgram:
                 ksk_sh = NamedSharding(
                     mesh, P("limb") if self._limb_ok else P())
                 self._key_args = {
-                    k: tuple(jax.device_put(x, ksk_sh) for x in mats[k])
+                    k: tuple(_put_global(x, ksk_sh, mesh) for x in mats[k])
                     for k in sorted(requests)}
             _mark("key_put")
 
@@ -409,6 +409,24 @@ class JittedProgram:
             else:
                 out[name] = list(np.asarray(arr).tolist())
         return out
+
+
+def _put_global(x, sharding, mesh):
+    """Place an array under a (possibly process-spanning) sharding.
+
+    Single-process meshes use a plain device_put. When the mesh spans
+    MULTIPLE PROCESSES (parallel/multihost.py — every process holds the
+    same full value, the jax multi-process contract), the array goes
+    through make_array_from_callback so each process contributes exactly
+    its addressable shards; device-resident inputs take one host hop."""
+    import jax
+
+    if all(d.process_index == jax.process_index()
+           for d in mesh.devices.flat):
+        return jax.device_put(x, sharding)
+    host = np.asarray(x)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
 
 
 def _static_cleartext(decl: VariableDeclaration) -> Cleartext:

@@ -36,6 +36,12 @@ def test_two_process_bfv_and_ckks():
         # the key-switch psum is the step's only collective
         assert "all-reduce" in bd["collectives"]
 
+        cp = r["compiled_program"]
+        # the COMPILED hamming workload ran on the process-spanning mesh:
+        # every batch element decrypted by exactly one host (dp = hosts)
+        assert cp["ct_shards_checked_all_hosts"] == cp["batch"]
+        assert "all-reduce" in cp["collectives"]
+
         ld = r["bfv_limb_over_dcn"]
         assert ld["mesh"] == {"dp": 2, "limb": 2}
         # limb spans hosts here, so the dp/batch axis is replicated across
