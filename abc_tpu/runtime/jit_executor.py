@@ -119,13 +119,14 @@ class JittedProgram:
                                  or "limb" not in mesh.shape):
             raise RuntimeExecutionError(
                 'mesh execution needs a Mesh with axes ("dp", "limb")')
+        self._input_dtype: Dict[str, object] = {}
         if secret_decls and mesh is None:
             if hasattr(factory, "create_many"):
                 handles = factory.create_many([c for _, _, c in secret_decls])
             else:
                 handles = [factory.create_ciphertext(c)
                            for _, _, c in secret_decls]
-            for (name, dt, _), handle in zip(secret_decls, handles):
+            for (name, dt, ctext), handle in zip(secret_decls, handles):
                 arr, meta = factory.jit_pack(handle)
                 if not hasattr(arr, "devices"):     # host array → device once
                     import jax as _jax
@@ -133,6 +134,7 @@ class JittedProgram:
                 self.secret_inputs[name] = arr
                 self._input_meta[name] = meta
                 self._secret_types[name] = dt
+                self._input_dtype[name] = ctext.dtype
         elif secret_decls:
             from jax.sharding import NamedSharding, PartitionSpec as P
             batch_values = dict(batch_values or {})
@@ -164,6 +166,7 @@ class JittedProgram:
                     np.stack(arrs), NamedSharding(mesh, P("dp")), mesh)
                 self._input_meta[name] = meta
                 self._secret_types[name] = dt
+                self._input_dtype[name] = ctext.dtype
         _mark("encrypt")
 
         tainted = compiled.secret_tainted
@@ -376,6 +379,57 @@ class JittedProgram:
         if census["mult"]:
             requests.add("relin")
         return requests
+
+    def encrypt_inputs(self, values: Dict[str, object]) -> Dict[str, object]:
+        """Encrypt FRESH input values for run_raw — the serving pattern:
+        compile once, then stream new inputs through the same executable
+        with no retrace. values: {input_name: value-vector} (or, in mesh
+        mode, {input_name: [B value-vectors]}); names omitted reuse the
+        originally encrypted inputs. Returns a dict accepted by run_raw.
+        """
+        unknown = set(values) - set(self.secret_inputs)
+        if unknown:
+            raise RuntimeExecutionError(
+                f"unknown secret inputs: {sorted(unknown)}")
+        out = dict(self.secret_inputs)
+        names = sorted(values)
+        if not self.batch:
+            cleartexts = [Cleartext(list(values[n]), self._input_dtype[n])
+                          for n in names]
+            handles = self.factory.create_many(cleartexts) \
+                if hasattr(self.factory, "create_many") else \
+                [self.factory.create_ciphertext(c) for c in cleartexts]
+            for n, h in zip(names, handles):
+                arr, _ = self.factory.jit_pack(h)
+                if not hasattr(arr, "devices"):
+                    import jax as _jax
+                    arr = _jax.device_put(np.asarray(arr))
+                out[n] = arr
+            return out
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        flat = []
+        for n in names:
+            rows = values[n]
+            if len(rows) != self.batch:
+                raise RuntimeExecutionError(
+                    f"{n}: expected {self.batch} rows, got {len(rows)}")
+            flat.extend(Cleartext(list(v), self._input_dtype[n])
+                        for v in rows)
+        handles = self.factory.create_many(flat) \
+            if hasattr(self.factory, "create_many") else \
+            [self.factory.create_ciphertext(c) for c in flat]
+        idx = 0
+        for n in names:
+            arrs = []
+            for _b in range(self.batch):
+                arr, _ = self.factory.jit_pack(handles[idx])
+                idx += 1
+                arrs.append(np.asarray(arr))
+            out[n] = _put_global(np.stack(arrs),
+                                 NamedSharding(self.mesh, P("dp")),
+                                 self.mesh)
+        return out
 
     def run_raw(self, secret_arrays: Dict[str, object]) -> Dict[str, object]:
         if self._keyed:

@@ -156,3 +156,37 @@ def test_ckks_census_discovers_keys():
         JittedProgram._census_key_ids = orig
     assert seen["census"] == {"relin", f"galois_{pow(3, 1, 2 * 512)}"}
     assert abs(out[0] - 7.0) < 0.1 and abs(out[1] - 4.0) < 0.1
+
+
+def test_encrypt_inputs_streams_fresh_values():
+    """Serving pattern: compile once, stream NEW encrypted inputs through
+    the same executable (no retrace), decrypt correct results."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    from abc_tpu.runtime.jit_executor import jit_compile_program
+
+    factory = BfvCiphertextFactory(slots=1024, engine="jx32", seed=5)
+    prog = ("int sum = 0;"
+            "for (int i = 0; i < 4; i = i + 1) {"
+            "  sum = sum + (x[i]-y[i])*(x[i]-y[i]);"
+            "} return sum;")
+    jp = jit_compile_program(
+        prog, "secret int x = {1,1,0,1}; secret int y = {1,0,1,1};",
+        "out = sum;", factory)
+    assert jp.run()["out"][0] == 2
+    for x, y in (([0, 0, 0, 0], [1, 1, 1, 1]),
+                 ([1, 0, 1, 0], [1, 0, 1, 0]),
+                 ([1, 1, 1, 0], [0, 1, 0, 0])):
+        fresh = jp.encrypt_inputs({"x": x, "y": y})
+        got = jp.decrypt_outputs(jp.run_raw(fresh))["out"][0]
+        want = sum(int(a != b) for a, b in zip(x, y))
+        assert got == want, (x, y, got, want)
+    # partial update reuses the original other input (y = {1,0,1,1})
+    fresh = jp.encrypt_inputs({"x": [0, 0, 1, 1]})
+    assert jp.decrypt_outputs(jp.run_raw(fresh))["out"][0] == 1
+    # unknown names rejected
+    import pytest as _pytest
+    from abc_tpu.utils.errors import RuntimeExecutionError
+    with _pytest.raises(RuntimeExecutionError, match="unknown"):
+        jp.encrypt_inputs({"zzz": [1]})
