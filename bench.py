@@ -368,6 +368,15 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_suite.json"), "w") as f:
         json.dump(full, f, indent=1)
+    # keep README/BASELINE generated blocks in lockstep with the fresh
+    # artifact (they are CI-checked for zero drift) — every bench run,
+    # including the driver's, leaves the pair consistent
+    try:
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        import sync_bench_docs
+        sync_bench_docs.main([])
+    except Exception as exc:                    # pragma: no cover
+        print(f"warning: doc sync failed: {exc}", file=sys.stderr)
     line = {
         "metric": full["headline_ntt"]["metric"]
         + f" ({result['backend']}{suffix})",
