@@ -290,3 +290,46 @@ def test_ckks_jit_fuzz_vs_numpy_oracle(seed):
     assert np.allclose(got[:8], oracle[:8], atol=5e-2), (
         f"seed {seed}\ninputs: {inputs_src}\nprogram: {program_src}\n"
         f"got={got[:8]}\nwant={oracle[:8]}")
+
+
+# ---------------------------------------------------------------------------
+# 5. MESH-path fuzz (round 5, slow tier): random programs through the
+# dp × limb compiled-mesh executor vs the single-device JIT
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(5))
+def test_mesh_jit_fuzz_matches_single_device(seed):
+    import jax
+
+    from abc_tpu.parallel.dryrun import build_context
+    from abc_tpu.parallel.sharding import make_mesh
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    from abc_tpu.runtime.jit_executor import jit_compile_program
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = random.Random(12_000 + seed)
+    while True:
+        inputs_src, program_src, output_src, scalar_mixed = gen_program(rng)
+        if program_src.count("acc * ") + program_src.count("* v") <= 1:
+            break
+    mesh = make_mesh(dp=2, limb=4)
+    fac_mesh = BfvCiphertextFactory(
+        context=build_context(n=256, data_limbs=4, seed=41))
+    jp = jit_compile_program(program_src, inputs_src, output_src, fac_mesh,
+                             options=ALL_ON, mesh=mesh)
+    mesh_out = jp.run()
+
+    fac_single = BfvCiphertextFactory(
+        context=build_context(n=256, data_limbs=4, seed=41))
+    jp1 = jit_compile_program(program_src, inputs_src, output_src,
+                              fac_single, options=ALL_ON)
+    single_out = jp1.run()
+    n_cmp = 1 if scalar_mixed else 8
+    for name, single_vals in single_out.items():
+        for row in mesh_out[name]:      # every dp row same inputs
+            assert [int(v) for v in row][:n_cmp] == \
+                [int(v) for v in single_vals][:n_cmp], (
+                f"seed {seed} {name}\nprogram: {program_src}\n"
+                f"mesh={row[:n_cmp]} single={single_vals[:n_cmp]}")
