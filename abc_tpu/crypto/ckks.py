@@ -561,6 +561,13 @@ class CkksContext:
         return CkksCiphertext(self._dev(np.stack([c0, c1])), L, pt.scale)
 
     def decrypt(self, ct: CkksCiphertext) -> CkksPlaintext:
+        """c₀ + c₁·s (+ c₂·s² …) via NTT-domain dot + inverse transform.
+        jx32 contexts run the whole computation ON DEVICE (one jitted
+        call; only the [level, n] coefficient residues cross the boundary
+        — round 5, matching BfvContext._decrypt_device); host engines use
+        the np64 path. Decode (exact CRT + float embedding) stays host."""
+        if self._on_device:
+            return self._decrypt_device(ct)
         idx = list(range(ct.level))
         h = self.hqp.subset(idx)
         data = np.asarray(ct.data).astype(np.uint32)
@@ -571,6 +578,39 @@ class CkksContext:
                 h.pointwise_mul(s_pow, self.s_ntt_full[idx])
             v_ntt = h.add(v_ntt, h.pointwise_mul(h.fwd(data[k]), s_pow))
         return CkksPlaintext(h.inv(v_ntt), ct.level, ct.scale)
+
+    def _decrypt_device(self, ct: CkksCiphertext) -> CkksPlaintext:
+        import jax.numpy as jnp
+
+        from abc_tpu.crypto.bfv import _mjit
+        level, size = ct.level, ct.size
+        ntt = self._ntt_at(level)            # precomputed jx32 view
+        q, mu = self._tabs_at(level)
+
+        def make():
+            def dec(data, s_full, qv, muv, fwd_tw, fwd_tw_sh, inv_tw,
+                    inv_tw_sh, n_inv, n_inv_sh):
+                from abc_tpu.crypto.ntt import _fwd_stages, _inv_stages
+                from abc_tpu.ops.modarith import jx32 as e
+                s = s_full[:level]           # in-jit slice (no dispatch)
+                f = _fwd_stages(e, data, fwd_tw, fwd_tw_sh, qv)
+                v = f[0]
+                sp = None
+                for k in range(1, size):
+                    sp = s if sp is None else e.mul(sp, s, qv, muv)
+                    v = e.add(v, e.mul(f[k], sp, qv, muv), qv)
+                return _inv_stages(e, v, inv_tw, inv_tw_sh, qv, n_inv,
+                                   n_inv_sh)
+            return dec
+
+        fn = _mjit(("ckks_dec", self.params.n,
+                    tuple(self.params.coeff_modulus), level, size), make)
+        data = ct.data if not isinstance(ct.data, np.ndarray) \
+            else jnp.asarray(ct.data)
+        out = fn(data, self._dev_s_ntt_full, q, mu,
+                 ntt.fwd_tw, ntt.fwd_tw_sh, ntt.inv_tw, ntt.inv_tw_sh,
+                 ntt.n_inv, ntt.n_inv_sh)
+        return CkksPlaintext(np.asarray(out), level, ct.scale)
 
     # ------------------------------------------------------------- homomorphic ops
     def _ntt_at(self, level: int) -> NttContext:

@@ -8,7 +8,7 @@ empty README section); tests are authored for the new implementation.
 import numpy as np
 import pytest
 
-from abc_tpu.crypto.ckks import CkksContext, CkksParams
+from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
 
 
 @pytest.fixture(scope="module")
@@ -121,7 +121,7 @@ def test_jx32_engine_bit_exact():
 
 def test_hoisted_rotations_match_sequential():
     import numpy as np
-    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
     params = CkksParams.create(512, levels=3, seed=9)
     ctx = CkksContext(params)
     vals = np.linspace(-1.0, 1.0, params.n // 2)
@@ -139,7 +139,7 @@ def test_rotations_share_decomposition():
     ciphertext cost ONE key-switch decomposition (mirrors
     BfvContext._decompose_cached; tests/test_lazy_relin.py)."""
     import numpy as np
-    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
 
     params = CkksParams.create(1024, levels=3, engine="np64", seed=5)
     ctx = CkksContext(params)
@@ -255,7 +255,7 @@ def test_key_material_is_order_independent():
     the order keys are materialized in (previously the shared host
     Generator made key values depend on build order)."""
     import numpy as np
-    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
 
     p = CkksParams.create(512, levels=2, engine="np64", seed=99)
     c1 = CkksContext(p)
@@ -278,7 +278,7 @@ def test_device_keygen_bit_exact_vs_host():
     build bit-for-bit (same counter-PRNG streams, same error draws, same
     target-secret identity)."""
     import numpy as np
-    from abc_tpu.crypto.ckks import CkksContext, CkksParams
+    from abc_tpu.crypto.ckks import CkksCiphertext, CkksContext, CkksParams
 
     pn = CkksParams.create(512, levels=2, engine="np64", seed=77)
     pj = CkksParams.create(512, levels=2, engine="jx32", seed=77)
@@ -324,3 +324,30 @@ def test_sub_scale_drift_absorbed(ctx):
     p2 = ctx.multiply(ctx.multiply(a, a), b)    # level L-2 after 2 rescales
     s = ctx.sub(p2, p1)                         # 20 - 10
     np.testing.assert_allclose(dec(ctx, s, 1), [10.0], rtol=1e-2, atol=1e-2)
+
+
+def test_device_decrypt_bit_exact_vs_host():
+    """jx32 contexts decrypt ON DEVICE (round 5): the [level, n] residues
+    must equal the np64 host decrypt bit-for-bit, at full level, after a
+    rescale, and for a lazy size-3 product."""
+    pn = CkksParams.create(256, levels=3, seed=21, engine="np64")
+    pj = CkksParams.create(256, levels=3, seed=21, engine="jx32")
+    cn, cj = CkksContext(pn), CkksContext(pj)
+    vals = [1.25, -0.5, 3.0]
+    ct_n = cn.encrypt(cn.encode(vals))
+    ct_j = CkksCiphertext(np.asarray(ct_n.data), ct_n.level, ct_n.scale)
+    for make in (
+        lambda c, ct: ct,                                  # fresh
+        lambda c, ct: c.multiply(ct, ct),                  # relin+rescale
+        lambda c, ct: c.multiply(ct, ct, relinearize=False,
+                                 rescale=False),           # lazy size-3
+    ):
+        a = cn.decrypt(make(cn, ct_n))
+        b = cj.decrypt(make(cj, ct_j))
+        assert a.level == b.level and a.scale == b.scale
+        assert np.array_equal(np.asarray(a.coeffs_rns),
+                              np.asarray(b.coeffs_rns))
+    # end-to-end value check through the device path
+    got = cj.decode(cj.decrypt(cj.multiply(ct_j, ct_j))).real[:3]
+    np.testing.assert_allclose(got, np.asarray(vals) ** 2, rtol=1e-2,
+                               atol=1e-2)
