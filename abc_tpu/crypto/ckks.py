@@ -640,12 +640,22 @@ class CkksContext:
         1. A side carrying a raw-product scale (≥1.5× both the other side
            and the base scale) is rescaled down — never past the other
            side's scale (over-rescaling drives the scales further apart).
-        2. Levels are aligned by exact modulus reduction (mod_drop_to).
-        3. A remaining ≥1.5× ratio (scale drift from prime≠2^scale_bits
+        2. A larger-scale side that sits at a HIGHER level than the other
+           is bridged DOWN through one of the levels the alignment is
+           about to drop anyway: ct · round(target·q_drop/scale) then
+           rescale — so the common scale is the SMALLER one. Lifting the
+           small side up instead (the pre-fix behavior) can exceed the
+           few limbs left at the common level: at one 30-bit limb a
+           2^28-lifted sum leaves <2 bits of coefficient headroom, the
+           DC coefficient wraps q0 and every slot shifts by q0/scale
+           (found live by tests/test_auto_params_fuzz.py, +4.0 on every
+           lane).
+        3. Levels are aligned by exact modulus reduction (mod_drop_to).
+        4. A remaining ≥1.5× ratio (scale drift from prime≠2^scale_bits
            accumulating per rescale) is closed by an exact integer lift of
            the smaller-scale side: ct·m with scale·m — message AND noise
            scale together, so relative precision is unchanged.
-        4. Residual sub-10% drift is absorbed by relabeling to the common
+        5. Residual sub-10% drift is absorbed by relabeling to the common
            scale — the standard approximate-arithmetic resolution; beyond
            10% we raise rather than silently distort.
 
@@ -657,6 +667,9 @@ class CkksContext:
                 a = self.rescale(a)
             while b.scale >= 1.5 * max(a.scale, base) and b.level > 1:
                 b = self.rescale(b)
+        if match_scale:
+            a, b = self._bridge_down(a, b)
+            b, a = self._bridge_down(b, a)
         if a.level != b.level:
             target = min(a.level, b.level)
             a = self.mod_drop_to(a, target)
@@ -674,6 +687,21 @@ class CkksContext:
                     f"(ratio {r:.3g})")
             b = CkksCiphertext(b.data, b.level, a.scale)
         return a, b
+
+    def _bridge_down(self, hi: CkksCiphertext, lo: CkksCiphertext):
+        """_align step 2: when `hi` carries ≥1.5× `lo`'s scale AND a spare
+        level that the coming level-alignment would drop regardless, lower
+        hi's scale to ≈lo.scale by an exact integer multiply through that
+        level: hi · round(lo.scale·q_drop/hi.scale), rescale. Returns the
+        (possibly bridged) pair in the original order."""
+        while (hi.scale >= 1.5 * lo.scale and hi.level > lo.level
+               and hi.level > 1):
+            q_drop = self.params.data_primes[hi.level - 1]
+            m = round(lo.scale * q_drop / hi.scale)
+            if m < 2:       # scales too far apart for one bridge level —
+                break       # fall back to the step-4 lift
+            hi = self.rescale(self._scale_lift(hi, m))
+        return hi, lo
 
     def _scale_lift(self, ct: CkksCiphertext, m: int) -> CkksCiphertext:
         """Exact multiplication by the integer m ≥ 1: every RNS component

@@ -203,10 +203,16 @@ def choose_ckks_parameters(compiled, engine: str = "np64",
 
       levels     = total multiplicative depth (ct·ct + ct·plain each cost
                    one rescale level) + 1 working level
-      scale_bits = 29 when the circuit rotates (post-rescale rotations
-                   need a prime-sized scale that stays put across
-                   rescales — the documented precision hazard), else the
-                   default 25 (headroom for multiply-heavy circuits)
+      scale_bits = the smallest value keeping the FINAL scale (after
+                   `depth` rescales by ~30-bit primes,
+                   ≈ 2^(scale_bits·(depth+1) − 30·depth)) at least
+                   ~6 bits above the ~2^17 absolute noise floor (n·B_err
+                   — the crypto/ckks.py:95-101 precision hazard, found
+                   live by tests/test_auto_params_fuzz.py: at the old
+                   fixed 25 a depth-2 circuit's scale fell to 2^15,
+                   under the floor), and never below 25 nor above 29
+                   (the scale must stay under the 30-bit primes);
+                   rotating circuits keep the prime-sized-29 rule
       n          = smallest ring with levels+1 30-bit primes inside the
                    HE-standard 128-bit budget (security_strict skips
                    dev-grade sets that overflow it)
@@ -218,7 +224,17 @@ def choose_ckks_parameters(compiled, engine: str = "np64",
     stats = analyze_circuit(compiled)
     depth = stats.mult_depth + stats.plain_mult_depth
     levels = max(2, depth + 1)
-    scale_bits = 29 if stats.rotations > 0 and depth > 0 else 25
+    # final scale ≈ 2^(s·(depth+1) − 30·depth) must clear the noise floor
+    # (~2^17 absolute) with ~6 bits of headroom; solve for s
+    target_final_bits = 17 + 6
+    scale_bits = max(25, math.ceil(
+        (target_final_bits + 30 * depth) / (depth + 1)))
+    # capacity cap: the final scale must also leave the LAST limb ≥5 bits
+    # of coefficient headroom (q0 is 30-bit), i.e. final ≤ 25 bits
+    scale_bits = min(scale_bits, max(25, (25 + 30 * depth) // (depth + 1)))
+    if stats.rotations > 0 and depth > 0:
+        scale_bits = max(scale_bits, 29)      # prime-sized: stays put
+    scale_bits = min(scale_bits, 29)          # must stay under the primes
     bits_needed = 30 * (levels + 1)           # + the special prime
     chosen_n = None
     for n, budget in sorted(HE_STANDARD_BUDGET_BITS.items()):

@@ -236,11 +236,19 @@ def test_ckks_auto_params_selection():
     params, rep = choose_ckks_parameters(comp)
     assert rep["scale_bits"] == 29 and rep["levels"] == 3
     assert rep["he_standard_128bit"]
-    # rotation-free circuit keeps the headroom default
+    # rotation-free depth-1 circuit: scale_bits sized so the FINAL
+    # (post-rescale) scale clears the ~2^17 noise floor with headroom
+    # (2·27 − 30 = 24 bits) while leaving the last limb ≥5 bits of
+    # coefficient capacity
     comp2 = compile_src("secret double acc = w0 * w0; return acc;",
                         "secret double w0 = {1.0,2.0};")
     _, rep2 = choose_ckks_parameters(comp2)
-    assert rep2["scale_bits"] == 25
+    assert rep2["scale_bits"] == 27
+    # depth-0 keeps the headroom default
+    comp3 = compile_src("secret double acc = w0 + w0; return acc;",
+                        "secret double w0 = {1.0,2.0};")
+    _, rep3 = choose_ckks_parameters(comp3)
+    assert rep3["scale_bits"] == 25
 
 
 def test_ckks_auto_params_executes_accurately():

@@ -326,6 +326,30 @@ def test_sub_scale_drift_absorbed(ctx):
     np.testing.assert_allclose(dec(ctx, s, 1), [10.0], rtol=1e-2, atol=1e-2)
 
 
+def test_add_bridges_fresh_operand_down_not_up():
+    """Fresh (scale 2^28, full level) + twice-rescaled (scale ~2^24, one
+    limb left): alignment must BRIDGE the fresh side down through its
+    spare levels, keeping the common scale the SMALL one. Lifting the
+    rescaled side up to 2^28 instead leaves <2 bits of coefficient
+    headroom in the one remaining 30-bit limb — the DC coefficient wraps
+    q0 and every slot shifts by q0/scale ≈ +4 (the
+    tests/test_auto_params_fuzz.py seed-4 failure, fixed round 5)."""
+    c = CkksContext(CkksParams.create(256, levels=3, seed=2,
+                                      scale_bits=28))
+    # mean ≈ -1.6 so the result's DC coefficient lands in (q0/2, q0) at a
+    # lifted 2^28 scale but comfortably inside at the bridged ~2^24 scale
+    vals = [-1.6] * 4
+    w = c.encrypt(c.encode(vals))
+    acc = c.rescale(c._scale_lift(w, round(c.params.data_primes[2]
+                                           / 2 ** 4)))    # scale ~2^24, L2
+    acc = c.rescale(c._scale_lift(acc, round(c.params.data_primes[1]
+                                             / 2 ** 0)))  # scale ~2^24, L1
+    s = c.add(acc, w)
+    assert s.scale < 2 ** 26, "fresh side must bridge DOWN"
+    np.testing.assert_allclose(dec(c, s, 4), [2 * v for v in vals],
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_device_decrypt_bit_exact_vs_host():
     """jx32 contexts decrypt ON DEVICE (round 5): the [level, n] residues
     must equal the np64 host decrypt bit-for-bit, at full level, after a
