@@ -259,6 +259,35 @@ def test_ckks_fuzz_vs_numpy_oracle(seed):
         f"got={got[:8]}\nwant={oracle[:8]}")
 
 
+@pytest.mark.parametrize("seed", range(25))
+def test_ckks_fuzz_tight_params(seed):
+    """The same family under the TIGHT parameter regime auto-params picks
+    for depth-2 circuits (levels=3, scale_bits=28): every depth-2 chain
+    ends on ONE 30-bit limb, so any add that lifts scales upward instead
+    of bridging the fresh side down wraps the last limb (the
+    test_auto_params_fuzz seed-4 bug class). levels=4/scale_bits=30
+    above masks that hazard; this pins it open."""
+    from abc_tpu.runtime.ckks_backend import CkksCiphertextFactory
+
+    factory = CkksCiphertextFactory(n=512, levels=3, engine="np64", seed=3,
+                                    scale_bits=28)
+    rng = random.Random(12_000 + seed)
+    inputs_src, program_src, oracle = gen_ckks_program(
+        rng, factory.slot_count)
+    input_ast = Parser.parse(inputs_src)
+    output_ast = Parser.parse("out = acc;")
+    compiled = Compiler(ALL_ON).compile_source(
+        program_src, input_types_from_ast(input_ast))
+    rv = RuntimeVisitor(factory, input_ast, compiled.secret_tainted)
+    rv.execute_ast(compiled.ast)
+    ((_, value),) = rv.get_output(output_ast)
+    assert isinstance(value, AbstractCiphertext)
+    got = np.asarray(factory.decrypt(value))
+    assert np.allclose(got[:8], oracle[:8], atol=5e-2), (
+        f"seed {seed}\ninputs: {inputs_src}\nprogram: {program_src}\n"
+        f"got={got[:8]}\nwant={oracle[:8]}")
+
+
 # ---------------------------------------------------------------------------
 # 4. CKKS whole-program JIT fuzz (round 5 follow-up): the lazy
 # relin/rescale backend's jit protocol (static (level, scale) metadata
