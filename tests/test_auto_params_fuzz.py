@@ -121,6 +121,45 @@ def test_auto_params_scales_chain_with_fuzzed_depth():
     assert prev_n > 1024        # depth 4 must have escalated the ring
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_noise_model_stays_conservative(seed):
+    """The measured invariant-noise budget of the OUTPUT ciphertext must
+    not fall materially below the model's predicted margin — a missed
+    ct·ct multiply on the deepest path would show as a ~32-bit gap
+    (per_mult = t_bits + log2 n + 2). The 8-bit slack absorbs the
+    definitional offset between `q_bits − noise − t` and the invariant
+    budget `log2 q − 1 − log2 max_resid` (measured ≤4 bits on this
+    family)."""
+    from abc_tpu.crypto.bfv import BfvContext
+    from abc_tpu.crypto.noise import auto_params_report
+    from abc_tpu.parser import Parser
+    from abc_tpu.passes.pipeline import Compiler, input_types_from_ast
+    from abc_tpu.runtime.bfv_backend import BfvCiphertextFactory
+    from abc_tpu.runtime.executor import RuntimeVisitor
+    from abc_tpu.runtime.values import AbstractCiphertext
+
+    rng = random.Random(20_000 + seed)
+    inputs_src, program_src, output_src = gen_depth_program(
+        rng, max_mults=2 + seed % 2)
+    ia, oa = Parser.parse(inputs_src), Parser.parse(output_src)
+    compiled = Compiler(ALL_ON).compile_source(
+        program_src, input_types_from_ast(ia))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        params, report = auto_params_report(compiled, engine="np64", seed=7)
+    factory = BfvCiphertextFactory(context=BfvContext(params))
+    rv = RuntimeVisitor(factory, ia, compiled.secret_tainted)
+    rv.execute_ast(compiled.ast)
+    ((_, v),) = rv.get_output(oa)
+    assert isinstance(v, AbstractCiphertext)
+    measured = v.noise_bits()
+    assert measured > 0
+    assert measured >= report["predicted_margin_bits"] - 8, (
+        f"seed {seed}: model optimistic — predicted margin "
+        f"{report['predicted_margin_bits']} bits but measured budget "
+        f"{measured} on n={report['n']}\nprogram: {program_src}")
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_auto_params_jit_fuzz(seed):
     """The same property through the flagship whole-program JIT surface
