@@ -6,7 +6,9 @@ whether a circuit will decrypt. Here we own it:
 
   * analyze_circuit — walks a compiled program and extracts the noise-relevant
     shape: secret multiplicative depth, plaintext-multiply count on the
-    deepest path, rotation count;
+    deepest path, rotation count; residual For loops (unrolling off or
+    non-static bounds) are iterated to a depth fixpoint, bounded by the
+    static trip count when the header is evaluable;
   * estimate_noise_bits — a conservative per-op bit-growth model calibrated
     against measured invariant-noise budgets (each BFV ct·ct or ct·plain
     multiply costs ≈ log2(2·t·n) bits; rotations/adds cost ~1 bit);
@@ -22,12 +24,54 @@ from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 from abc_tpu.ast_ir.nodes import (
-    Assignment, BinaryExpression, Block, Call, OperatorExpression, Return,
-    UnaryExpression, Variable, VariableDeclaration,
+    Assignment, BinaryExpression, Block, Call, For, OperatorExpression,
+    Return, UnaryExpression, Variable, VariableDeclaration,
 )
 from abc_tpu.crypto.params import BfvParams, _DEFAULT_CHAIN
 from abc_tpu.utils.errors import CompilerError
 from abc_tpu.utils.operators import Op
+
+
+# fixpoint cap for loops left in the analyzed program (unrolling off /
+# non-static bounds): a body still deepening after this many passes prices
+# the circuit past every preset, surfacing a CompilerError instead of a
+# silently under-sized chain
+_RESIDUAL_LOOP_DEPTH_CAP = 64
+
+
+def _static_trip_count(loop, cap: int) -> Optional[int]:
+    """Trip count of a residual For with a statically-evaluable plain
+    header (int i = a; i < b; i = i + c), by interpreting the header with
+    the unroller's constant evaluator; None when any part is non-static
+    or the count exceeds `cap`."""
+    from abc_tpu.passes.unroll import _eval_static
+
+    env: Dict[str, int] = {}
+
+    def run_header_block(block) -> bool:
+        for s in block.children():
+            if not isinstance(s, (Assignment, VariableDeclaration)) \
+                    or not isinstance(s.target, Variable) or s.value is None:
+                return False
+            v = _eval_static(s.value, env)
+            if v is None:
+                return False
+            env[s.target.identifier] = v
+        return True
+
+    if not run_header_block(loop.initializer):
+        return None
+    trips = 0
+    while trips <= cap:
+        c = _eval_static(loop.condition, env)
+        if c is None:
+            return None
+        if not c:
+            return trips
+        trips += 1
+        if not run_header_block(loop.update):
+            return None
+    return None
 
 
 @dataclass
@@ -102,6 +146,26 @@ def analyze_circuit(compiled) -> CircuitStats:
             d = expr_depth(stmt.value)
             stats.mult_depth = max(stats.mult_depth, d[0])
             stats.plain_mult_depth = max(stats.plain_mult_depth, d[1])
+        elif isinstance(stmt, For):
+            # residual loop (analysis on a program compiled WITHOUT
+            # unrolling, or with non-static bounds): iterate the body to a
+            # variable-depth FIXPOINT. Accumulative bodies (sum = sum + x)
+            # converge in ≤2 passes; a multiplicative accumulation
+            # (acc = acc * x) grows per pass and hits the cap, escalating
+            # the chain (ultimately a clear CompilerError) rather than
+            # silently under-sizing it — the pre-fix single-pass walk
+            # priced such loops at depth 1 regardless of trip count.
+            # Statically-evaluable headers bound the passes at the real
+            # trip count so small static loops are priced exactly.
+            trips = _static_trip_count(stmt, _RESIDUAL_LOOP_DEPTH_CAP)
+            walk(stmt.initializer)
+            for _ in range(trips if trips is not None
+                           else _RESIDUAL_LOOP_DEPTH_CAP):
+                before = dict(depth)
+                walk(stmt.body)
+                walk(stmt.update)
+                if depth == before:
+                    break
         else:
             for c in stmt.children():
                 walk(c) if isinstance(c, Block) else None

@@ -32,6 +32,52 @@ def test_analyze_rotations():
     assert analyze_circuit(compiled).rotations == 2
 
 
+def test_residual_multiplicative_loop_priced_by_fixpoint():
+    """A For left in the circuit (unrolling OFF) with a multiplicative
+    accumulation must be priced at its real per-iteration depth via the
+    fixpoint walk, not the single-pass depth 1 (a 4-iteration loop at
+    depth 1 silently under-sized the chain before the round-5 fix)."""
+    opts = CompileOptions(loop_unrolling=False)
+    compiled, _ = compiled_for(
+        "secret int v = {1,2};",
+        "secret int acc = v;"
+        "for (int i = 0; i < 4; i = i + 1) { acc = acc * v; }"
+        "return acc;", opts)
+    stats = analyze_circuit(compiled)
+    assert stats.mult_depth == 4
+
+
+def test_residual_additive_loop_converges():
+    """An accumulative residual loop (sum = sum + x) reaches the depth
+    fixpoint in ≤2 passes — same stats as the unrolled circuit."""
+    opts = CompileOptions(loop_unrolling=False)
+    compiled, _ = compiled_for(
+        "secret int v = {1,2}; secret int w = {3,4};",
+        "secret int acc = v * w;"
+        "for (int i = 0; i < 100; i = i + 1) { acc = acc + v; }"
+        "return acc;", opts)
+    stats = analyze_circuit(compiled)
+    assert stats.mult_depth == 1
+
+
+def test_residual_unbounded_loop_escalates_to_error():
+    """A residual multiplicative loop that never stabilizes (the cap)
+    prices the circuit past every preset → clear CompilerError, never a
+    silently under-sized chain."""
+    from abc_tpu.utils.errors import CompilerError
+
+    opts = CompileOptions(loop_unrolling=False,
+                          max_unroll_iterations=0)
+    compiled, _ = compiled_for(
+        "secret int v = {1,2}; int n = 1000;",
+        "secret int acc = v;"
+        "for (int i = 0; i < n; i = i + 1) { acc = acc * v; }"
+        "return acc;", opts)
+    assert analyze_circuit(compiled).mult_depth >= 64
+    with pytest.raises(CompilerError):
+        choose_parameters(compiled)
+
+
 def test_shallow_circuit_gets_small_params():
     compiled, _ = compiled_for("secret int a = {1};",
                                "a = a *** a; return a;")
