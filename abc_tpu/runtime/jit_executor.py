@@ -236,6 +236,26 @@ class JittedProgram:
             _mark("key_build")
             self._limb_ok = mesh is not None and \
                 hasattr(ctx, "set_limb_sharding")
+            if self._limb_ok:
+                # the "limb" axis shards each switching key's digit rows
+                # ([α, L+k, n] axis 0); an α the axis size does not divide
+                # cannot be laid out — fall back to replicated keys
+                # (dp-only parallelism, like CKKS) instead of letting
+                # device_put raise a shape error (the preset chains have
+                # α ∈ {5, 6, 13, 27}, rarely divisible by a power-of-two
+                # axis — found by composing mesh= with auto_params=True)
+                limb_ax = int(mesh.shape["limb"])
+                if not all(int(np.shape(x)[0]) % limb_ax == 0
+                           for k in sorted(requests) for x in mats[k]):
+                    import warnings
+                    warnings.warn(
+                        f"switching-key digit count does not divide the "
+                        f"limb mesh axis ({limb_ax}); keys stay replicated "
+                        f"and the limb axis is idle — size the axis to "
+                        f"divide the key decomposition rows "
+                        f"({sorted({int(np.shape(x)[0]) for k in requests for x in mats[k]})})",
+                        stacklevel=3)
+                    self._limb_ok = False
             if mesh is None:
                 self._key_args = {
                     k: tuple(x if hasattr(x, "devices")

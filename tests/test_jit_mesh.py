@@ -149,3 +149,31 @@ def test_compiled_ckks_program_on_mesh_dp(mesh):
         single = jp1.run()["out"]
         assert np.allclose(row[:3], want, atol=1e-2), (row[:3], want)
         assert np.allclose(row[:3], single[:3], atol=1e-2)
+
+
+def test_mesh_falls_back_when_limb_axis_indivisible(mesh):
+    """A preset whose switching-key digit count the limb axis does not
+    divide (the 30-bit chains have α ∈ {5, 6, 13, 27}) must run dp-only
+    with replicated keys and a warning naming the constraint — not a raw
+    device_put shape error (found composing mesh= with auto_params=True,
+    whose small circuits land on the n=1024 α=5 preset)."""
+    import warnings
+
+    from abc_tpu.passes.pipeline import CompileOptions
+
+    bv = {"x": [[1, 1, 0, 1], [1, 0, 1, 1], [0, 0, 1, 1], [1, 1, 1, 1]],
+          "y": [[1, 0, 1, 1], [1, 0, 1, 1], [1, 1, 0, 0], [0, 1, 1, 0]]}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        jp = jit_compile_program(
+            "secret int acc = (x-y)*(x-y); acc = acc + rotate(acc, 2); "
+            "acc = acc + rotate(acc, 1); return acc;",
+            "secret int x = {1,1,0,1}; secret int y = {1,0,1,1};",
+            "out = acc;", options=CompileOptions(vectorize=True),
+            auto_params=True, engine="jx32", seed=7,
+            mesh=mesh, batch_values=bv)
+        out = np.asarray(jp.run()["out"])
+    assert any("limb mesh axis" in str(x.message) for x in w)
+    assert not jp._limb_ok
+    for i, (xr, yr) in enumerate(zip(bv["x"], bv["y"])):
+        assert out[i, 0] == sum((a - b) ** 2 for a, b in zip(xr, yr))
