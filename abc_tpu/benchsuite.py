@@ -58,9 +58,16 @@ def _chain_ops_per_s(step, arg0, args, chain: int, repeats: int = 3) -> float:
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t_full = best(make(chain))
-    t_half = best(make(chain // 2))
-    return (chain // 2) / max(t_full - t_half, 1e-9)
+    full_f, half_f = make(chain), make(chain // 2)
+    # host contention can invert a pair (t_full < t_half) — the old
+    # max(…, 1e-9) clamp then published an absurd huge rate; discard and
+    # retry inverted pairs, nan if nothing validates
+    for _ in range(3):
+        t_full = best(full_f)
+        t_half = best(half_f)
+        if t_full > t_half:
+            return (chain // 2) / (t_full - t_half)
+    return float("nan")
 
 
 # --------------------------------------------------------------------------

@@ -109,11 +109,24 @@ def estimates(make_chain, chain, *args):
         return timed(fulls[c], *args)
     out = []
     fixed = []
-    for _ in range(K_EST):
+    # Host contention (another process hogging CPU between the paired
+    # timings) can INVERT a pair (t_full < t_half), producing negative or
+    # absurd per-op numbers; one contaminated run published a -1.9e8
+    # ops/s batch point. Discard non-positive pairs and retry, up to 3x
+    # the budget; a run where nothing validates reports nan rather than
+    # garbage.
+    attempts = 0
+    while len(out) < K_EST and attempts < 3 * K_EST:
+        attempts += 1
         t_full = t(chain)
         t_half = t(chain // 2)
-        out.append((t_full - t_half) / (chain // 2))
+        per = (t_full - t_half) / (chain // 2)
+        if per <= 0:
+            continue
+        out.append(per)
         fixed.append(2 * t_half - t_full)
+    if not out:
+        return float("nan"), float("nan"), float("nan"), 0.0
     out.sort()
     return out[len(out) // 2], out[0], out[-1], sorted(fixed)[len(fixed)//2]
 
